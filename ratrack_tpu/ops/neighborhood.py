@@ -1,0 +1,139 @@
+"""Masked neighborhood queries over fixed-shape (padded) point clouds.
+
+TPU-native replacements for the reference CUDA kernels
+(`src/lib/src/ball_query_gpu.cu`, `src/lib/src/interpolate_gpu.cu`) and the
+pure-torch `knn_point`/`square_distance` (`src/utils/model_utils/model_utils.py:17-99`).
+
+All functions operate on a single cloud in points-major layout `(N, 3)` /
+`(N, C)`; batch via `jax.vmap`. Invalid (padding) points are excluded through
+boolean masks instead of varying shapes, so every op has a static shape and
+compiles once.
+
+Distance computations are done in float32 with HIGHEST matmul precision:
+neighbor *selection* is index-producing and therefore numerically brittle
+under bf16.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e10)
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared euclidean distance, clamped at zero.
+
+    Mirrors reference `square_distance` (model_utils.py:17-39) which clamps
+    negatives produced by the expanded form.
+
+    Args:
+      src: (N, C) query points.
+      dst: (M, C) target points.
+    Returns:
+      (N, M) float32 squared distances.
+    """
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    d = -2.0 * jax.lax.dot_general(
+        src, dst,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    d = d + jnp.sum(src * src, axis=-1, keepdims=True)
+    d = d + jnp.sum(dst * dst, axis=-1)[None, :]
+    return jnp.maximum(d, 0.0)
+
+
+def knn(k: int, query: jnp.ndarray, points: jnp.ndarray,
+        points_mask: jnp.ndarray | None = None):
+    """k nearest neighbors of `query` among valid `points`.
+
+    Reference: `knn_point` (model_utils.py:85-99) — torch.topk over the dense
+    distance matrix — and the CUDA `knn` kernel (interpolate_gpu.cu:9-79).
+
+    If fewer than `k` points are valid, the remaining neighbor slots are
+    filled with the nearest valid index (first-hit padding, matching the
+    spirit of ball_query_gpu.cu:34-41); if no point is valid, index 0.
+
+    Args:
+      k: number of neighbors (static).
+      query: (N, C).
+      points: (M, C).
+      points_mask: optional (M,) bool validity of `points`.
+    Returns:
+      (dist2, idx): (N, k) float32 squared distances and (N, k) int32 indices,
+      sorted ascending by distance.
+    """
+    d = square_distance(query, points)  # (N, M)
+    if points_mask is not None:
+        d = jnp.where(points_mask[None, :], d, _BIG)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    dist2 = -neg_d
+    if points_mask is not None:
+        nbr_valid = dist2 < _BIG
+        # pad invalid neighbor slots with the nearest valid neighbor (col 0);
+        # if col 0 itself is invalid (no valid points at all), use index 0.
+        fallback = jnp.where(nbr_valid[:, :1], idx[:, :1], 0)
+        idx = jnp.where(nbr_valid, idx, fallback)
+        dist2 = jnp.where(nbr_valid, dist2, jnp.take_along_axis(
+            jnp.where(points_mask[None, :], d, _BIG), fallback, axis=1))
+    return dist2, idx.astype(jnp.int32)
+
+
+def ball_query(radius: float, nsample: int, points: jnp.ndarray,
+               centers: jnp.ndarray,
+               points_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Fixed-size radius query with the reference kernel's exact padding rule.
+
+    Reference CUDA semantics (ball_query_gpu.cu:28-44):
+      * scan points in index order, keep the first `nsample` with d² < r²;
+      * ALL slots are pre-filled with the FIRST hit before being overwritten,
+        so trailing slots repeat the first in-radius index;
+      * if no point is in radius, all slots stay 0.
+
+    Args:
+      radius: ball radius (static).
+      nsample: max neighbors (static).
+      points: (N, 3) candidate points.
+      centers: (M, 3) query centers.
+      points_mask: optional (N,) bool validity of `points`.
+    Returns:
+      (M, nsample) int32 indices into `points`.
+    """
+    n = points.shape[0]
+    d2 = square_distance(centers, points)  # (M, N)
+    hit = d2 < (radius * radius)
+    if points_mask is not None:
+        hit = jnp.logical_and(hit, points_mask[None, :])
+    # rank of each hit along the point axis: 1, 2, 3, ... (0 for non-hits)
+    rank = jnp.cumsum(hit.astype(jnp.int32), axis=1) * hit.astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    # index of the s-th hit per center; argmax returns 0 when absent.
+    # one matmul-free gather per sample slot: s in [1, nsample]
+    def slot(s):
+        is_s = rank == s
+        found = jnp.any(is_s, axis=1)
+        idx_s = jnp.argmax(is_s, axis=1).astype(jnp.int32)
+        return idx_s, found
+    idx0, found0 = slot(1)
+    first = jnp.where(found0, idx0, 0)  # no hit at all -> 0 (CUDA zero-init)
+    slots = [first]
+    for s in range(2, nsample + 1):
+        idx_s, found_s = slot(s)
+        slots.append(jnp.where(found_s, idx_s, first))
+    del col, n
+    return jnp.stack(slots, axis=1)
+
+
+def three_nn(query: jnp.ndarray, points: jnp.ndarray,
+             points_mask: jnp.ndarray | None = None):
+    """3 nearest neighbors; returns euclidean (not squared) distances.
+
+    Reference: three_nn CUDA kernel (interpolate_gpu.cu:81-147), which
+    returns sqrt distances via the Python wrapper (pointnet2_utils.py:126).
+    """
+    dist2, idx = knn(3, query, points, points_mask)
+    return jnp.sqrt(dist2), idx

@@ -1,0 +1,95 @@
+"""Masked farthest point sampling and gathering.
+
+TPU-native replacement for the reference CUDA kernels in
+`src/lib/src/sampling_gpu.cu` (furthest_point_sampling: 94-251,
+gather_points: 8-83).
+
+Key reference semantics preserved:
+  * FPS is seeded at index 0 (sampling_gpu.cu:113-115).
+  * When `npoint` exceeds the number of (valid) points, the sampled set
+    contains every valid point once plus deterministic duplicates — the
+    reference has the same behaviour because VoD radar frames usually have
+    fewer points than `npoint=512`.
+
+The identity fast path: the live RaTrack config uses npoint == padded size
+(512), in which case FPS selects *all* valid points and only the ordering /
+duplicate pattern differs. Since every downstream consumer (per-center MLPs,
+max-pool, 3-NN interpolation) is order-invariant over the center set,
+`identity_sample` returns `arange` clipped to the valid count — removing a
+~512-iteration sequential loop from the step. Set `exact_fps=True` in the
+model config to force true FPS everywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
+                          mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Iterative farthest point sampling over valid points.
+
+    Args:
+      xyz: (N, 3) points (padding rows arbitrary but finite).
+      npoint: number of samples (static).
+      mask: optional (N,) bool validity.
+    Returns:
+      (npoint,) int32 indices. Seeded at the first valid index; invalid
+      points are never selected (provided at least one point is valid).
+    """
+    n = xyz.shape[0]
+    xyz = xyz.astype(jnp.float32)
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    # running min-distance; invalid points pinned to -1 so argmax skips them
+    temp = jnp.where(mask, jnp.float32(1e10), jnp.float32(-1.0))
+    # reference seeds at raw index 0; with padding at the tail the first
+    # valid index is 0 whenever any point is valid.
+    seed = jnp.argmax(mask).astype(jnp.int32)
+    out0 = jnp.zeros((npoint,), jnp.int32).at[0].set(seed)
+
+    def body(j, state):
+        temp, old, out = state
+        d = jnp.sum((xyz - xyz[old]) ** 2, axis=-1)
+        temp = jnp.where(mask, jnp.minimum(temp, d), -1.0)
+        new = jnp.argmax(temp).astype(jnp.int32)
+        return temp, new, out.at[j].set(new)
+
+    _, _, out = jax.lax.fori_loop(1, npoint, body, (temp, seed, out0))
+    return out
+
+
+def identity_sample(n: int, npoint: int,
+                    mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Order-preserving stand-in for FPS when npoint >= n_valid.
+
+    Returns arange(npoint) with slots beyond the valid count redirected to
+    the first valid index (duplicates, like reference FPS when it runs out
+    of distinct points). Requires npoint == n for exact cover.
+    """
+    idx = jnp.arange(npoint, dtype=jnp.int32) % n
+    if mask is None:
+        return idx
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    seed = jnp.argmax(mask).astype(jnp.int32)
+    return jnp.where(idx < n_valid, idx, seed)
+
+
+def gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather: (N, C) × (M,) -> (M, C).
+
+    The reference implements forward + hand-written scatter-add backward in
+    CUDA (sampling_gpu.cu:8-83); `jnp.take`'s autodiff produces exactly that
+    scatter-add, so no custom VJP is needed.
+    """
+    return jnp.take(points, idx, axis=0)
+
+
+def group(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Group gather: (N, C) × (M, S) -> (M, S, C).
+
+    Reference: group_points (group_points_gpu.cu:8-86), backward is
+    scatter-add — supplied by autodiff here.
+    """
+    return jnp.take(points, idx, axis=0)

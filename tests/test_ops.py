@@ -1,0 +1,150 @@
+"""Parity tests: masked JAX point ops vs NumPy oracles of the CUDA semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ratrack_tpu import ops
+from reference_impls import np_fps, np_ball_query, np_knn, np_three_interpolate
+
+
+def _padded(rng, n_valid, n_pad, c=3, scale=10.0):
+    pts = rng.randn(n_valid, c).astype(np.float32) * scale
+    full = np.zeros((n_pad, c), np.float32)
+    full[:n_valid] = pts
+    mask = np.zeros((n_pad,), bool)
+    mask[:n_valid] = True
+    return pts, full, mask
+
+
+def test_square_distance(rng):
+    a = rng.randn(17, 3).astype(np.float32)
+    b = rng.randn(23, 3).astype(np.float32)
+    got = np.asarray(ops.square_distance(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sum((a[:, None] - b[None]) ** 2, -1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fps_matches_reference_unmasked(rng):
+    pts = rng.randn(64, 3).astype(np.float32) * 5
+    got = np.asarray(ops.furthest_point_sample(jnp.asarray(pts), 16))
+    want = np_fps(pts.astype(np.float64), 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_masked_equals_unmasked_on_valid(rng):
+    pts, full, mask = _padded(rng, 40, 64)
+    got = np.asarray(ops.furthest_point_sample(
+        jnp.asarray(full), 16, jnp.asarray(mask)))
+    want = np_fps(pts.astype(np.float64), 16)
+    np.testing.assert_array_equal(got, want)
+    assert np.all(got < 40)
+
+
+def test_fps_more_samples_than_points_covers_all(rng):
+    pts, full, mask = _padded(rng, 10, 32)
+    got = np.asarray(ops.furthest_point_sample(
+        jnp.asarray(full), 32, jnp.asarray(mask)))
+    assert set(got[:10].tolist()) == set(range(10))  # all valid points picked
+    assert np.all(got < 10)  # never selects padding
+
+
+def test_identity_sample(rng):
+    _, _, mask = _padded(rng, 10, 32)
+    got = np.asarray(ops.identity_sample(32, 32, jnp.asarray(mask)))
+    np.testing.assert_array_equal(got[:10], np.arange(10))
+    np.testing.assert_array_equal(got[10:], np.zeros(22, np.int64))
+
+
+def test_ball_query_matches_reference(rng):
+    pts = rng.randn(50, 3).astype(np.float32) * 2
+    centers = pts[np_fps(pts.astype(np.float64), 12)]
+    got = np.asarray(ops.ball_query(1.5, 8, jnp.asarray(pts),
+                                    jnp.asarray(centers)))
+    want = np_ball_query(1.5, 8, pts, centers)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_masked(rng):
+    pts, full, mask = _padded(rng, 30, 48, scale=2.0)
+    centers = pts[:5]
+    got = np.asarray(ops.ball_query(2.0, 6, jnp.asarray(full),
+                                    jnp.asarray(centers), jnp.asarray(mask)))
+    want = np_ball_query(2.0, 6, pts, centers)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_no_hit_returns_zero(rng):
+    pts = rng.randn(10, 3).astype(np.float32)
+    centers = np.full((2, 3), 100.0, np.float32)
+    got = np.asarray(ops.ball_query(0.5, 4, jnp.asarray(pts),
+                                    jnp.asarray(centers)))
+    np.testing.assert_array_equal(got, np.zeros((2, 4)))
+
+
+def test_knn_set_parity(rng):
+    pts, full, mask = _padded(rng, 37, 64)
+    q = rng.randn(9, 3).astype(np.float32) * 10
+    d2, idx = ops.knn(5, jnp.asarray(q), jnp.asarray(full), jnp.asarray(mask))
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    want_d, want_i = np_knn(5, q, pts)
+    # topk ties may reorder equal distances; compare as sorted sets per row
+    for r in range(9):
+        assert set(idx[r].tolist()) == set(want_i[r].tolist())
+    np.testing.assert_allclose(np.sort(d2, 1), np.sort(want_d, 1),
+                               rtol=1e-3, atol=1e-3)
+    assert np.all(idx < 37)
+
+
+def test_knn_fewer_valid_than_k_pads_with_nearest(rng):
+    pts, full, mask = _padded(rng, 3, 16)
+    q = rng.randn(4, 3).astype(np.float32)
+    _, idx = ops.knn(8, jnp.asarray(q), jnp.asarray(full), jnp.asarray(mask))
+    idx = np.asarray(idx)
+    assert np.all(idx < 3)
+    # slots beyond the 3 valid points repeat the nearest neighbor
+    np.testing.assert_array_equal(idx[:, 3:], np.repeat(idx[:, :1], 5, 1))
+
+
+def test_three_nn_and_interpolate(rng):
+    known, fullk, maskk = _padded(rng, 20, 32)
+    feats = rng.randn(32, 7).astype(np.float32)
+    q = rng.randn(11, 3).astype(np.float32) * 10
+    dist, idx = ops.three_nn(jnp.asarray(q), jnp.asarray(fullk),
+                             jnp.asarray(maskk))
+    w = ops.three_interpolate_weights(dist)
+    out = np.asarray(ops.three_interpolate(jnp.asarray(feats), idx, w))
+
+    want_d, want_i = np_knn(3, q, known)
+    recip = 1.0 / (np.sqrt(want_d) + 1e-8)
+    want_w = recip / recip.sum(1, keepdims=True)
+    want = np_three_interpolate(feats[:20], want_i, want_w)
+    np.testing.assert_allclose(out, want, rtol=1e-3, atol=1e-3)
+
+
+def test_query_and_group_shape_and_content(rng):
+    pts, full, mask = _padded(rng, 25, 32, scale=1.5)
+    feats = rng.randn(32, 4).astype(np.float32)
+    centers = pts[:6]
+    out = np.asarray(ops.query_and_group(
+        2.0, 8, jnp.asarray(full), jnp.asarray(centers), jnp.asarray(feats),
+        jnp.asarray(mask)))
+    assert out.shape == (6, 8, 7)
+    idx = np_ball_query(2.0, 8, pts, centers)
+    np.testing.assert_allclose(out[..., :3],
+                               pts[idx] - centers[:, None], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out[..., 3:], feats[idx], rtol=1e-6)
+
+
+def test_gather_grad_is_scatter_add(rng):
+    import jax
+    pts = jnp.asarray(rng.randn(10, 4).astype(np.float32))
+    idx = jnp.asarray(np.array([0, 0, 3], np.int32))
+
+    def f(p):
+        return jnp.sum(ops.gather(p, idx) * 2.0)
+
+    g = np.asarray(jax.grad(f)(pts))
+    want = np.zeros((10, 4), np.float32)
+    want[0] = 4.0  # gathered twice
+    want[3] = 2.0
+    np.testing.assert_allclose(g, want)

@@ -1,0 +1,128 @@
+"""PointNet++-MSG backbone head (set abstraction + feature propagation).
+
+TPU re-design of the reference PNHead (`src/utils/model_utils/model_utils.py:393-424`)
+and PointnetSAModuleMSG / PointnetFPModule (`src/lib/pointnet2_modules.py:19-158`).
+
+Differences from the reference by design:
+  * points-major (N, C) layout; all MLPs are channel Dense ops → MXU matmuls;
+  * fixed padded size with masks instead of variable N;
+  * when `npoint == N` (the live config: npoint=512 == pad budget), FPS is
+    replaced by `identity_sample` — FPS at npoint >= N selects every valid
+    point anyway, and every downstream consumer is order-invariant over the
+    center set (see ops/sampling.py). `exact_fps=True` restores true FPS.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import (furthest_point_sample, identity_sample, gather,
+                   query_and_group, three_nn, three_interpolate,
+                   three_interpolate_weights)
+from .layers import PointwiseMLP
+
+
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale grouping set abstraction.
+
+    Reference: PointnetSAModuleMSG (pointnet2_modules.py:19-94): FPS centers,
+    per-scale ball query + group → SharedMLP → max-pool over samples, concat
+    scales over channels.
+    """
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]   # per-scale output channels (input inferred)
+    exact_fps: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, mask=None, train: bool = True):
+        """xyz (N,3), features (N,C) or None, mask (N,) → new_xyz (npoint,3),
+        new_feats (npoint, sum(mlp[-1]))."""
+        n = xyz.shape[0]
+        if self.npoint == n and not self.exact_fps:
+            idx = identity_sample(n, self.npoint, mask)
+        else:
+            idx = furthest_point_sample(xyz, self.npoint, mask)
+        new_xyz = gather(xyz, idx)
+
+        outs = []
+        for s, (r, ns, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            g = query_and_group(r, ns, xyz, new_xyz, features, mask)
+            # (npoint, nsample, 3+C) -> MLP -> max over samples.
+            # BN statistics run over (npoint, nsample); centers are all real
+            # points (possibly duplicated), matching the reference which also
+            # keeps npoint centers regardless of the raw point count.
+            g = PointwiseMLP(mlp, bn=True, dtype=self.dtype,
+                             name=f"mlp_{s}")(g, mask=None, train=train)
+            outs.append(jnp.max(g, axis=1))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """Inverse-distance 3-NN feature propagation.
+
+    Reference: PointnetFPModule (pointnet2_modules.py:118-158).
+    """
+    mlp: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
+                 unknown_mask=None, train: bool = True):
+        dist, idx = three_nn(unknown_xyz, known_xyz)
+        w = three_interpolate_weights(dist)
+        interp = three_interpolate(known_feats, idx, w)
+        if unknown_feats is not None:
+            interp = jnp.concatenate([interp, unknown_feats], axis=-1)
+        return PointwiseMLP(self.mlp, bn=True, dtype=self.dtype,
+                            name="mlp")(interp, mask=unknown_mask, train=train)
+
+
+class PNHead(nn.Module):
+    """3-level SA-MSG encoder + 3-level FP decoder → 128-d per-point features.
+
+    Reference PNHead (model_utils.py:393-424). Channel flow:
+      sa1: scales [(in→16,16,32), (in→16,16,32)] → 64 → linear1 → 32
+      sa2: [(35→32,32), (35→32,64)] → 96 → linear2 → 64
+      sa3: [(67→64,64), (67→64,64)] → 128 → linear3 → 64
+      fp3 [128,128] → fp2 [160→128] → fp1 [128→128]
+    (the "in" of each SA scale is 3 + feature channels of its level).
+    """
+    npoint: int
+    exact_fps: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, mask=None, train: bool = True):
+        sa1 = SetAbstractionMSG(self.npoint, [2., 4.], [4, 8],
+                                [[16, 16, 32], [16, 16, 32]],
+                                self.exact_fps, self.dtype, name="sa1")
+        sa2 = SetAbstractionMSG(self.npoint, [4., 8.], [8, 16],
+                                [[32, 32], [32, 64]],
+                                self.exact_fps, self.dtype, name="sa2")
+        sa3 = SetAbstractionMSG(self.npoint, [8., 16.], [16, 32],
+                                [[64, 64], [64, 64]],
+                                self.exact_fps, self.dtype, name="sa3")
+
+        l1_xyz, l1 = sa1(xyz, features, mask, train)
+        l1 = nn.Dense(32, dtype=self.dtype, name="linear1")(l1)
+        l2_xyz, l2 = sa2(l1_xyz, l1, None, train)
+        l2 = nn.Dense(64, dtype=self.dtype, name="linear2")(l2)
+        l3_xyz, l3 = sa3(l2_xyz, l2, None, train)
+        l3 = nn.Dense(64, dtype=self.dtype, name="linear3")(l3)
+
+        # reference FP mlps are single layers: [128,128] / [160,128] /
+        # [128,128] in torch spec = one Conv(in→128) each.
+        l2 = FeaturePropagation([128], self.dtype, name="fp3")(
+            l2_xyz, l3_xyz, l2, l3, None, train)
+        l1 = FeaturePropagation([128], self.dtype, name="fp2")(
+            l1_xyz, l2_xyz, l1, l2, None, train)
+        l0 = FeaturePropagation([128], self.dtype, name="fp1")(
+            xyz, l1_xyz, None, l1, mask, train)
+        return l3_xyz, l0

@@ -1,0 +1,157 @@
+"""Track4D: the full radar moving-object tracking network, one XLA program.
+
+Reference: `src/models/track4d.py:13-223`. The reference's forward leaves
+the device twice per frame (CPU sklearn DBSCAN at :111, python M×N affinity
+loops at :182-223); here clustering, descriptor pooling, affinity, Sinkhorn
+and ID assignment are all traced into the same jit as the backbone.
+
+Per-point feature tensor F (N, 139) mirrors track4d.py:53-54:
+  [warp(3) | pc1(3) | flow(3) | RCS,v_r(2) | prop_features(128)].
+Clustering features are F[:, 3:9] ∪ F[:, 10:12] — the reference indexes
+10:12, i.e. v_r plus the FIRST prop feature channel (a quirk kept for
+parity; 9:11 was presumably intended).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..data.frames import FrameBatch
+from ..tracker.dbscan import dbscan
+from ..tracker.state import TrackState, init_state
+from ..tracker.association import (cluster_descriptors, greedy_gt_match,
+                                   associate)
+from .pnhead import PNHead
+from .correlator import FeatureCorrelator
+from .decoder import FlowDecoder
+from .affinity import Affinity
+
+
+def _masked_max(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+    if mask is None:
+        return jnp.max(x, axis=0)
+    return jnp.max(jnp.where(mask[:, None], x, -jnp.inf), axis=0)
+
+
+class Track4D(nn.Module):
+    """Flagship model. One instance == reference Track4D(args)."""
+    npoint: int = 512
+    k_max: int = 32
+    feat_dim: int = 128
+    gru_layers: int = 5
+    min_obj_points: int = 2
+    dbscan_eps: float = 1.5
+    dbscan_max_iters: int = 64
+    sinkhorn_iters: int = 500
+    sinkhorn_alpha: float = 0.9   # track4d.py:167 passes fixed 0.9
+    match_conf_thres: float = 0.01
+    mov_thres: float = 0.5
+    exact_fps: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.pn_head = PNHead(self.npoint, self.exact_fps, self.dtype)
+        self.fc_layer = FeatureCorrelator(16, (256, 256, 256), self.dtype)
+        self.fd_layer = FlowDecoder(self.npoint, self.feat_dim,
+                                    self.gru_layers, self.exact_fps,
+                                    self.dtype)
+        self.affinity = Affinity(141, self.dtype)
+        # registered-but-unused learnable bin score, as in the reference
+        # (track4d.py:41-42 registers it; :167 uses the constant 0.9).
+        self.bin_score = self.param("bin_score",
+                                    lambda key: jnp.ones((), jnp.float32))
+
+    # ---- backbone: features → cost volume → flow/cls (track4d.py:67-106) --
+    def backbone(self, frame: FrameBatch, h: jnp.ndarray,
+                 train: bool = True):
+        pc1, pc2 = frame.pc1, frame.pc2
+        m1, m2 = frame.mask1, frame.mask2
+        _, f1 = self.pn_head(pc1, frame.ft1, m1, train)
+        _, f2 = self.pn_head(pc2, frame.ft2, m2, train)
+        g1 = jnp.broadcast_to(_masked_max(f1, m1), f1.shape)
+        g2 = jnp.broadcast_to(_masked_max(f2, m2), f2.shape)
+        f1 = jnp.concatenate([f1, g1], axis=-1)   # (N, 256) local‖global
+        f2 = jnp.concatenate([f2, g2], axis=-1)
+        cor = self.fc_layer(pc1, pc2, f1, f2, m1, m2, train)
+        flow, h_new, prop, cls = self.fd_layer(pc1, frame.ft1, f1, cor, h,
+                                               m1, train)
+        return flow, h_new, cls, prop
+
+    # ---- full step: forward + clustering + association ----
+    def __call__(self, frame: FrameBatch, state: TrackState,
+                 train: bool = True) -> Tuple[Dict[str, jnp.ndarray],
+                                              TrackState]:
+        # sequence-boundary reset (main_utils.py:70-74); next_id carries on
+        fresh = init_state(self.k_max, self.gru_layers, self.feat_dim)
+        ns = frame.new_seq
+        state = TrackState(
+            h=jnp.where(ns, fresh.h, state.h),
+            desc=jnp.where(ns, fresh.desc, state.desc),
+            valid=jnp.where(ns, fresh.valid, state.valid),
+            track_id=jnp.where(ns, fresh.track_id, state.track_id),
+            gt_id=jnp.where(ns, fresh.gt_id, state.gt_id),
+            next_id=state.next_id,
+            frame_idx=jnp.where(ns, 0, state.frame_idx),
+        )
+
+        flow, h_new, cls, prop = self.backbone(frame, state.h, train)
+        warp = frame.pc1 + flow
+        feats = jnp.concatenate(
+            [warp, frame.pc1, flow, frame.ft1, prop], axis=-1)  # (N, 139)
+        feats = feats.astype(jnp.float32)
+
+        mov = (cls > self.mov_thres) & frame.mask1
+        db_in = jnp.concatenate([feats[:, 3:9], feats[:, 10:12]], axis=-1)
+        labels = dbscan(db_in, mov, self.dbscan_eps, self.min_obj_points,
+                        self.dbscan_max_iters)
+        labels = jnp.where(labels < self.k_max, labels, -1)
+
+        desc, curr_valid, sizes, _ = cluster_descriptors(
+            feats, labels, self.k_max)
+        m = jnp.sum(state.valid.astype(jnp.int32))
+        n = jnp.sum(curr_valid.astype(jnp.int32))
+
+        # (K_prev, K_curr) affinity on descriptor differences
+        diff = desc[None, :, :] - state.desc[:, None, :]
+        aff = self.affinity(diff)
+
+        res = associate(aff, m, n, state.track_id, state.next_id,
+                        jnp.float32(self.sinkhorn_alpha),
+                        self.sinkhorn_iters, self.match_conf_thres)
+        curr_gt = greedy_gt_match(labels, frame.gt_dense,
+                                  frame.gt_label_ids, frame.gt_valid,
+                                  self.k_max, state.frame_idx)
+
+        new_state = TrackState(
+            h=h_new,
+            desc=jax.lax.stop_gradient(desc),   # main_utils.py:158-161 detach
+            valid=curr_valid,
+            track_id=res.track_id,
+            gt_id=curr_gt,
+            next_id=res.next_id,
+            frame_idx=state.frame_idx + 1,
+        )
+        outputs = dict(
+            flow=flow, warp=warp, cls=cls, feats=feats, labels=labels,
+            track_id=res.track_id, conf=res.conf, aff=aff,
+            m=m, n=n, sizes=sizes,
+            prev_gt_id=state.gt_id, prev_valid=state.valid,
+            curr_gt_id=curr_gt, curr_valid=curr_valid,
+        )
+        return outputs, new_state
+
+
+def model_from_config(cfg) -> Track4D:
+    return Track4D(
+        npoint=cfg.npoints, k_max=cfg.k_max, feat_dim=cfg.feat_dim,
+        gru_layers=cfg.gru_layers, min_obj_points=cfg.min_obj_points,
+        dbscan_eps=cfg.dbscan_eps, dbscan_max_iters=cfg.dbscan_max_iters,
+        sinkhorn_iters=cfg.sinkhorn_iters, sinkhorn_alpha=cfg.sinkhorn_alpha,
+        match_conf_thres=cfg.match_conf_thres, mov_thres=cfg.mov_thres,
+        exact_fps=cfg.exact_fps,
+        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+    )

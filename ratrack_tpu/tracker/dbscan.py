@@ -1,0 +1,87 @@
+"""On-device DBSCAN over a masked fixed-size point set.
+
+Replaces the reference's host round-trip to sklearn DBSCAN
+(`src/models/track4d.py:108-126`: detach → .cpu() → sklearn → back to GPU)
+with a fully on-device label-propagation algorithm, so clustering stays
+inside the single XLA program.
+
+Algorithm (classic parallel connected components):
+  * adjacency: pairwise distance ≤ eps among valid points;
+  * core points: ≥ min_samples neighbors (the point itself included —
+    sklearn semantics, which the reference relies on with min_samples=2);
+  * component label = min core index reachable through core-core edges,
+    found by min-label propagation with pointer jumping (converges in
+    O(log diameter) iterations);
+  * border points adopt the label of their minimum-label core neighbor;
+  * noise → -1;
+  * cluster ids are ranks of component roots in index order, which matches
+    sklearn's first-core-visited numbering. (Known benign deviation: a
+    border point adjacent to cores of two different clusters takes the
+    min-label one; sklearn picks whichever BFS reached it first.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import square_distance
+
+
+def dbscan(x: jnp.ndarray, mask: jnp.ndarray, eps: float, min_samples: int,
+           max_iters: int = 64) -> jnp.ndarray:
+    """Cluster valid rows of x.
+
+    Args:
+      x: (N, D) features.
+      mask: (N,) bool — points to cluster.
+      eps: neighborhood radius (euclidean).
+      min_samples: core threshold, self included.
+      max_iters: propagation bound (≥ log2(N) + margin).
+    Returns:
+      (N,) int32 labels: cluster id ≥ 0 in first-occurrence order, -1 for
+      noise and masked-out points.
+    """
+    n = x.shape[0]
+    sentinel = jnp.int32(n)
+    d2 = square_distance(x, x)
+    adj = (d2 <= eps * eps) & mask[None, :] & mask[:, None]
+    deg = jnp.sum(adj, axis=1)
+    core = (deg >= min_samples) & mask
+    core_adj = adj & core[None, :] & core[:, None]
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    label0 = jnp.where(core, idx, sentinel)
+
+    def propagate(label):
+        # min label among core neighbors, then pointer-jump
+        nbr_min = jnp.min(jnp.where(core_adj, label[None, :], sentinel),
+                          axis=1)
+        label = jnp.minimum(label, nbr_min)
+        jumped = jnp.where(label < sentinel,
+                           label.at[jnp.minimum(label, n - 1)].get(), sentinel)
+        return jnp.minimum(label, jumped)
+
+    def cond(state):
+        i, label, prev = state
+        return (i < max_iters) & jnp.any(label != prev)
+
+    def body(state):
+        i, label, _ = state
+        return i + 1, propagate(label), label
+
+    _, label, _ = jax.lax.while_loop(
+        cond, body, (0, propagate(label0), label0))
+
+    # border points: min-label core neighbor
+    border_lbl = jnp.min(
+        jnp.where(adj & core[None, :], label[None, :], sentinel), axis=1)
+    label = jnp.where(core, label, jnp.where(mask, border_lbl, sentinel))
+
+    # compact component roots to cluster ids in index order
+    clustered = label < sentinel
+    is_root = clustered & (label == idx)
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1          # rank at index
+    cluster = jnp.where(clustered,
+                        rank.at[jnp.minimum(label, n - 1)].get(), -1)
+    return cluster.astype(jnp.int32)

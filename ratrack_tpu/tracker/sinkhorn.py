@@ -1,0 +1,74 @@
+"""Masked log-space Sinkhorn optimal transport with a dustbin.
+
+Reference: log_optimal_transport / log_sinkhorn_iterations
+(`src/models/utils/track4d_utils.py:405-434`) — the SuperGlue-style OT with
+a learnable bin score α, run for 500 iterations on the (m+1)×(n+1)
+coupling matrix.
+
+This version works on a fixed (K+1)×(K+1) matrix with the first m rows /
+n cols valid (slots are compacted by construction) and the dustbin pinned
+at index K. Invalid rows/cols carry -1e9 scores and -1e9 log-marginals:
+exp(-1e9 + anything_reasonable) underflows to exactly 0 in f32, so they
+contribute nothing to the log-sum-exps and the valid sub-block reproduces
+the reference computation bit-for-bit up to padding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG = jnp.float32(-1e9)
+
+
+def _lse(a, axis):
+    amax = jnp.max(a, axis=axis, keepdims=True)
+    amax = jnp.maximum(amax, _NEG)  # guard all -NEG rows
+    return jnp.squeeze(amax, axis) + jnp.log(
+        jnp.sum(jnp.exp(a - amax), axis=axis))
+
+
+def log_optimal_transport_masked(scores: jnp.ndarray, m: jnp.ndarray,
+                                 n: jnp.ndarray, alpha: jnp.ndarray,
+                                 iters: int) -> jnp.ndarray:
+    """Masked log-OT.
+
+    Args:
+      scores: (K, K) affinities; rows = prev objects, cols = curr objects;
+        only [0:m, 0:n] is meaningful.
+      m, n: traced scalar counts of valid rows / cols.
+      alpha: scalar learnable bin score (reference bin α = 0.9 passed at
+        call sites; the module also registers a learnable bin_score).
+      iters: Sinkhorn iterations (static; reference 500).
+    Returns:
+      (K+1, K+1) log-coupling Z with the dustbin at index K; invalid
+      entries ≈ -1e9.
+    """
+    k = scores.shape[0]
+    row_ok = jnp.arange(k) < m
+    col_ok = jnp.arange(k) < n
+
+    mf = jnp.maximum(m.astype(jnp.float32), 1.0)
+    nf = jnp.maximum(n.astype(jnp.float32), 1.0)
+    norm = -jnp.log(mf + nf)
+
+    c = jnp.where(row_ok[:, None] & col_ok[None, :], scores, _NEG)
+    c = jnp.pad(c, ((0, 1), (0, 1)), constant_values=_NEG)
+    c = c.at[:k, k].set(jnp.where(row_ok, alpha, _NEG))
+    c = c.at[k, :k].set(jnp.where(col_ok, alpha, _NEG))
+    c = c.at[k, k].set(alpha)
+
+    log_mu = jnp.concatenate(
+        [jnp.where(row_ok, norm, _NEG), (jnp.log(nf) + norm)[None]])
+    log_nu = jnp.concatenate(
+        [jnp.where(col_ok, norm, _NEG), (jnp.log(mf) + norm)[None]])
+
+    def body(_, uv):
+        u, v = uv
+        u = log_mu - _lse(c + v[None, :], axis=1)
+        v = log_nu - _lse(c + u[:, None], axis=0)
+        return u, v
+
+    u, v = jax.lax.fori_loop(0, iters, body,
+                             (jnp.zeros(k + 1), jnp.zeros(k + 1)))
+    return c + u[:, None] + v[None, :] - norm

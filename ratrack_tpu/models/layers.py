@@ -47,7 +47,8 @@ class MaskedBatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             red = tuple(range(x.ndim - 1))
             if mask is None:
-                n = float(jnp.prod(jnp.array(x.shape[:-1])))
+                import math
+                n = float(math.prod(x.shape[:-1]))
                 mean = jnp.mean(xf, axis=red)
                 var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
                 count = jnp.asarray(n, jnp.float32)

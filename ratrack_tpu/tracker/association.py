@@ -91,6 +91,7 @@ def greedy_gt_match(labels: jnp.ndarray, gt_dense: jnp.ndarray,
     Returns:
       (k_max,) int32 matched GT label id per cluster slot.
     """
+    gt_label_ids = jnp.asarray(gt_label_ids)  # numpy input + traced index
     g_max = gt_label_ids.shape[0]
     in_k = labels[:, None] == jnp.arange(k_max)[None, :]         # (N, K)
     in_g = gt_dense[:, None] == jnp.arange(g_max)[None, :]       # (N, G)

@@ -1,0 +1,141 @@
+"""CLEAR-MOT + AMOTA/sAMOTA metrics over point-set tracks.
+
+Re-implementation of the evaluation capability behind the reference's
+published table (`README.md:167-170`): the authors score RaTrack's
+per-frame point-set tracks with a modified AB3DMOT evaluation (not
+distributed — README.md:174-176). The vendored pieces that define the
+semantics are:
+  * point-set IoU as the affinity (src/AB3DMOT_libs/dist_metrics.py:167-186
+    — |A∩B| / |A∪B| with points matched by near-identical position);
+  * CLEAR-MOT counting with greedy matching per frame;
+  * AMOTA/AMOTP/sAMOTA: MOTA/MOTP integrated over recall by sweeping the
+    detection confidence threshold (AB3DMOT evaluation protocol).
+
+Inputs are frame-aligned lists of GT objects (id → (M,3) points) and
+predictions ((conf, track_id, (M,3) points)) — exactly what
+`eval/export.py` reads back from the results tree.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+Pred = Tuple[float, int, np.ndarray]          # (conf, track_id, points)
+GTFrame = Dict[int, np.ndarray]               # gt id → points
+PredFrame = List[Pred]
+
+
+def point_set_iou(a: np.ndarray, b: np.ndarray, tol: float = 1e-4) -> float:
+    """|A∩B| / |A∪B| with membership by (near-)exact position match."""
+    if a.size == 0 or b.size == 0:
+        return 0.0
+    d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+    common = int((d.min(axis=1) < tol).sum())
+    union = a.shape[0] + b.shape[0] - common
+    return common / union if union else 0.0
+
+
+def _match_frame(gts: GTFrame, preds: PredFrame,
+                 iou_thres: float) -> List[Tuple[int, int, float]]:
+    """Greedy best-IoU matching → [(gt_id, pred_idx, iou)]."""
+    pairs = []
+    for g, gpts in gts.items():
+        for i, (_, _, ppts) in enumerate(preds):
+            iou = point_set_iou(gpts, ppts)
+            if iou >= iou_thres:
+                pairs.append((iou, g, i))
+    pairs.sort(reverse=True)
+    used_g, used_p, out = set(), set(), []
+    for iou, g, i in pairs:
+        if g in used_g or i in used_p:
+            continue
+        used_g.add(g)
+        used_p.add(i)
+        out.append((g, i, iou))
+    return out
+
+
+def clear_mot(gt_frames: Sequence[GTFrame], pred_frames: Sequence[PredFrame],
+              iou_thres: float = 0.25,
+              conf_thres: float = -np.inf) -> Dict[str, float]:
+    """CLEAR-MOT over a sequence (predictions below conf_thres dropped)."""
+    assert len(gt_frames) == len(pred_frames)
+    tp = fp = fn = idsw = 0
+    iou_sum = 0.0
+    last_match: Dict[int, int] = {}            # gt id → last matched track
+    gt_hits: Dict[int, int] = defaultdict(int)
+    gt_total: Dict[int, int] = defaultdict(int)
+    n_gt = 0
+    for gts, preds_all in zip(gt_frames, pred_frames):
+        preds = [p for p in preds_all if p[0] >= conf_thres]
+        n_gt += len(gts)
+        for g in gts:
+            gt_total[g] += 1
+        matches = _match_frame(gts, preds, iou_thres)
+        tp += len(matches)
+        fp += len(preds) - len(matches)
+        fn += len(gts) - len(matches)
+        for g, i, iou in matches:
+            iou_sum += iou
+            gt_hits[g] += 1
+            tid = preds[i][1]
+            if g in last_match and last_match[g] != tid:
+                idsw += 1
+            last_match[g] = tid
+
+    mota = 1.0 - (fp + fn + idsw) / max(n_gt, 1)
+    moda = 1.0 - (fp + fn) / max(n_gt, 1)
+    motp = iou_sum / max(tp, 1)
+    ratios = [gt_hits[g] / gt_total[g] for g in gt_total]
+    mt = float(np.mean([r >= 0.8 for r in ratios])) if ratios else 0.0
+    ml = float(np.mean([r < 0.2 for r in ratios])) if ratios else 0.0
+    recall = tp / max(tp + fn, 1)
+    precision = tp / max(tp + fp, 1)
+    return {"mota": mota, "moda": moda, "motp": motp, "mt": mt, "ml": ml,
+            "idsw": idsw, "tp": tp, "fp": fp, "fn": fn, "recall": recall,
+            "precision": precision, "n_gt": n_gt}
+
+
+def integrated_mot(gt_frames: Sequence[GTFrame],
+                   pred_frames: Sequence[PredFrame],
+                   iou_thres: float = 0.25,
+                   n_recall: int = 40) -> Dict[str, float]:
+    """AMOTA / AMOTP / sAMOTA by sweeping recall (AB3DMOT protocol).
+
+    For each target recall r in {1/n, …, 1}, pick the confidence threshold
+    whose operating point reaches at least r, evaluate MOTA/MOTP there, and
+    average. sAMOTA uses the scale-adjusted
+    sMOTA_r = max(0, 1 − (FP+FN+IDSW − (1−r)·n_gt) / (r·n_gt)).
+    """
+    confs = sorted({p[0] for frame in pred_frames for p in frame},
+                   reverse=True)
+    if not confs:
+        return {"samota": 0.0, "amota": 0.0, "amotp": 0.0,
+                **clear_mot(gt_frames, pred_frames, iou_thres)}
+
+    ops = []
+    for c in confs:
+        ops.append((c, clear_mot(gt_frames, pred_frames, iou_thres, c)))
+
+    amota = amotp = samota = 0.0
+    targets = [(i + 1) / n_recall for i in range(n_recall)]
+    for r in targets:
+        best = None
+        for c, m in ops:
+            if m["recall"] >= r:
+                best = m
+                break
+        if best is None:
+            continue
+        amota += max(0.0, best["mota"])
+        amotp += best["motp"]
+        n_gt = max(best["n_gt"], 1)
+        smota = 1.0 - (best["fp"] + best["fn"] + best["idsw"]
+                       - (1.0 - r) * n_gt) / max(r * n_gt, 1e-9)
+        samota += float(np.clip(smota, 0.0, 1.0))
+    base = clear_mot(gt_frames, pred_frames, iou_thres)
+    return {"samota": samota / n_recall, "amota": amota / n_recall,
+            "amotp": amotp / n_recall, **base}

@@ -1,0 +1,224 @@
+"""Training / evaluation driver CLI.
+
+Usage (mirrors the reference `python main.py --config configs.yaml`,
+src/main.py:153-169):
+
+    python -m ratrack_tpu.main --config configs/default.yaml
+    python -m ratrack_tpu.main --config configs/eval.yaml
+
+Reference driver behaviours reproduced: checkpoint tree
+checkpoints/<exp>/models, tee logging to run.log, per-epoch last/last<ep>
+saves + best-loss copy, pretrain gating, per-epoch seg/flow metric means,
+eval-mode per-frame result export. Improvements over the reference:
+deterministic streaming (no worker-cursor duplication), full optimizer
+state in checkpoints, loss-curve dump as CSV instead of matplotlib PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Dict, List
+
+import numpy as np
+
+
+class Tee:
+    """Print + append to run.log (reference IOStream, main.py:18-28)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self.f = open(path, "a")
+
+    def print(self, text: str):
+        print(text)
+        self.f.write(text + "\n")
+        self.f.flush()
+
+
+def _build_stream(cfg, split):
+    if cfg.dataset == "vod":
+        from .data.pipeline import VodTrackStream
+        return VodTrackStream(cfg, split=split)
+    if cfg.dataset == "synthetic":
+        from .data.synthetic import synthetic_clip
+
+        class _SynthStream:
+            def __init__(self, cfg):
+                self.cfg = cfg
+                self.clips = ["synth_0", "synth_1"]
+                self.skipped = []
+
+            def __len__(self):
+                return 2 * 6
+
+            def __iter__(self):
+                for ci, clip in enumerate(self.clips):
+                    for rec in synthetic_clip(
+                            ci, 6, n_max=self.cfg.n_max,
+                            g_max=self.cfg.g_max,
+                            n_static=min(60, self.cfg.n_max - 64)):
+                        yield clip, rec
+
+        return _SynthStream(cfg)
+    raise ValueError(f"dataset not supported: {cfg.dataset}")
+
+
+def run_epoch(cfg, model, ts, step_fns, stream, mode: str, ep: int,
+              log: Tee, results_dir: str | None = None):
+    """One pass over the stream. Returns (mean loss, items, seg, flow)."""
+    import jax
+    import jax.numpy as jnp
+    from .data.frames import FrameBatch
+    from .tracker.state import init_state
+    from .train.metrics import eval_scene_flow, eval_motion_seg
+    from .eval.export import format_frame_results, write_frame_results
+
+    train_step, eval_step = step_fns
+    pretrain = ep < cfg.pretrain_epochs
+    tstate = jax.tree_util.tree_map(lambda x: x[None],
+                                    init_state(cfg.k_max, cfg.gru_layers,
+                                               cfg.feat_dim))
+    totals: Dict[str, float] = {}
+    seg_tot: Dict[str, float] = {}
+    flow_tot: Dict[str, float] = {}
+    count = 0
+    t0 = time.time()
+    for clip, rec in stream:
+        batch = FrameBatch(*[jnp.asarray(np.asarray(x)[None])
+                             for x in rec])
+        if mode == "train":
+            ts, tstate, items = train_step(ts, tstate, batch,
+                                           jnp.asarray(pretrain))
+            out = None
+        else:
+            variables = {"params": ts.params,
+                         "batch_stats": ts.batch_stats}
+            out, tstate = eval_step(variables, tstate, batch)
+            from .train.losses import track4d_loss
+            loss, items = track4d_loss(
+                {k: v[0] for k, v in out.items()}, rec, pretrain)
+            items = {k: v[None] for k, v in items.items()}
+
+        count += 1
+        for k, v in items.items():
+            totals[k] = totals.get(k, 0.0) + float(np.mean(np.asarray(v)))
+
+        if out is not None:
+            o = {k: np.asarray(v[0]) for k, v in out.items()}
+            valid = np.asarray(rec.mask1)
+            seg = eval_motion_seg((o["cls"] > cfg.mov_thres).astype(float),
+                                  np.asarray(rec.gt_cls).astype(float),
+                                  valid)
+            flow = eval_scene_flow(np.asarray(rec.pc1), o["warp"],
+                                   np.asarray(rec.gt_flow), o["cls"], valid)
+            for k, v in seg.items():
+                seg_tot[k] = seg_tot.get(k, 0.0) + v
+            for k, v in flow.items():
+                flow_tot[k] = flow_tot.get(k, 0.0) + v
+            if results_dir is not None:
+                text = format_frame_results(
+                    o["labels"], o["track_id"], o["conf"], int(o["n"]),
+                    np.asarray(rec.pc1))
+                write_frame_results(results_dir, clip,
+                                    int(rec.frame_number), text)
+
+    dt = time.time() - t0
+    mean_items = {k: v / max(count, 1) for k, v in totals.items()}
+    seg_m = {k: v / max(count, 1) for k, v in seg_tot.items()}
+    flow_m = {k: v / max(count, 1) for k, v in flow_tot.items()}
+    log.print(f"[{mode}] epoch {ep}: {count} frames in {dt:.1f}s "
+              f"({count / max(dt, 1e-9):.1f} fps) "
+              + " ".join(f"{k}={v:.4f}" for k, v in mean_items.items()))
+    if seg_m:
+        log.print(f"segmentation: {seg_m}")
+        log.print(f"scene flow: {flow_m}")
+    if stream.skipped:
+        log.print(f"skipped {len(stream.skipped)} frames: "
+                  f"{stream.skipped[:5]}...")
+    return ts, mean_items, seg_m, flow_m
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="RaTrack-TPU driver")
+    parser.add_argument("--config", type=str, default="configs/default.yaml")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU backend (the axon plugin ignores "
+                             "JAX_PLATFORMS)")
+    args = parser.parse_args(argv)
+
+    from .config import load_config
+    cfg = load_config(args.config)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    exp_dir = os.path.join(cfg.checkpoints_dir, cfg.exp_name)
+    models_dir = os.path.join(exp_dir, "models")
+    os.makedirs(models_dir, exist_ok=True)
+    log = Tee(os.path.join(exp_dir, "run.log"))
+    log.print(str(cfg))
+    log.print(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    np.random.seed(cfg.seed)
+
+    from .models import model_from_config
+    from .tracker.state import init_state
+    from .train.step import (create_train_state, make_optimizer,
+                             make_train_step, make_eval_step)
+    from .train import checkpoint as ckpt
+
+    model = model_from_config(cfg)
+    stream = _build_stream(cfg, "val" if cfg.eval else "train")
+    first = next(iter(stream))[1]
+    steps_per_epoch = len(stream)
+    ts = create_train_state(model, cfg, first, init_state(cfg.k_max),
+                            steps_per_epoch, seed=cfg.seed)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    step_fns = (make_train_step(model, tx), make_eval_step(model))
+
+    if cfg.continue_model and ckpt.latest_exists(models_dir, "last"):
+        ts = ckpt.restore_train_state(models_dir, "last", ts)
+        log.print("restored checkpoint: last")
+    elif cfg.eval or cfg.load_checkpoint:
+        name = cfg.model_path or "best"
+        if ckpt.latest_exists(models_dir, name):
+            ts = ckpt.restore_train_state(models_dir, name, ts)
+            log.print(f"restored checkpoint: {name}")
+        else:
+            log.print(f"WARNING: checkpoint '{name}' not found, "
+                      "using fresh init")
+
+    if cfg.eval:
+        run_epoch(cfg, model, ts, step_fns, stream, "eval", 10 ** 6, log,
+                  results_dir=cfg.results_dir)
+        log.print("FINISH")
+        return
+
+    best = np.inf
+    history: List[Dict[str, float]] = []
+    for ep in range(cfg.epochs):
+        stream = _build_stream(cfg, "train")
+        ts, items, _, _ = run_epoch(cfg, model, ts, step_fns, stream,
+                                    "train", ep, log)
+        history.append(items)
+        ckpt.save_train_state(models_dir, "last", ts)
+        ckpt.save_train_state(models_dir, f"last{ep}", ts)
+        if items["Loss"] <= best:
+            best = items["Loss"]
+            ckpt.save_train_state(models_dir, "best", ts)
+            log.print(f"best train loss till now: {best:.6f}")
+        with open(os.path.join(exp_dir, "loss_history.csv"), "w") as f:
+            keys = list(history[0])
+            f.write(",".join(["epoch"] + keys) + "\n")
+            for i, h in enumerate(history):
+                f.write(",".join([str(i)] + [f"{h[k]:.6f}" for k in keys])
+                        + "\n")
+    log.print("FINISH")
+
+
+if __name__ == "__main__":
+    main()

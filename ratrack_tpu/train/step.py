@@ -52,8 +52,11 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
 
 def create_train_state(model, cfg, example_frame, example_track_state,
                        steps_per_epoch: int, seed: int = 0) -> TrainState:
-    variables = model.init(jax.random.PRNGKey(seed), example_frame,
-                           example_track_state, train=False)
+    # jitted init: one compiled program instead of eager per-op dispatch
+    # (the latter is very slow against a remote TPU backend).
+    variables = jax.jit(
+        lambda key: model.init(key, example_frame, example_track_state,
+                               train=False))(jax.random.PRNGKey(seed))
     tx = make_optimizer(cfg, steps_per_epoch)
     return TrainState(
         params=variables["params"],

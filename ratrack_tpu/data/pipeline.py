@@ -22,7 +22,7 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from .frames import FrameBatch
+from .frames import FrameBatch, empty_frame
 from .gt import build_frame_gt, rigid_gt_flow, FrameGT
 from .vod import (VodLocations, FrameData, Transforms,
                   parse_tracking_labels, filter_moving_labels,
@@ -80,11 +80,13 @@ def _pad_or_subsample(arr: np.ndarray, n_max: int,
 class VodTrackStream:
     """Sequential frame-pair stream over VoD clips."""
 
-    def __init__(self, cfg, split: Optional[str] = None):
+    def __init__(self, cfg, split: Optional[str] = None,
+                 clips: Optional[List[str]] = None):
         self.cfg = cfg
         split = split or ("val" if cfg.eval else "train")
-        self.clips = {"train": TRAIN_CLIPS, "val": VAL_CLIPS,
-                      "test": TEST_CLIPS}[split]
+        self.clips = clips if clips is not None else {
+            "train": TRAIN_CLIPS, "val": VAL_CLIPS,
+            "test": TEST_CLIPS}[split]
         self.loc = VodLocations(cfg.dataset_path)
         self.clips_dir = cfg.clips_dir  # optional txt override directory
         self.skipped: List[Tuple[str, int, str]] = []
@@ -177,3 +179,61 @@ class VodTrackStream:
                     continue
                 new_seq = False
                 yield clip, rec
+
+
+def split_clips_balanced(clips: List[str], lengths: List[int],
+                         n_groups: int) -> List[List[str]]:
+    """Greedy longest-first partition of clips into n_groups balanced by
+    total frame count. Groups may be empty when n_groups > len(clips)."""
+    order = sorted(range(len(clips)), key=lambda i: -lengths[i])
+    groups: List[List[str]] = [[] for _ in range(n_groups)]
+    totals = [0] * n_groups
+    for i in order:
+        g = totals.index(min(totals))
+        groups[g].append(clips[i])
+        totals[g] += lengths[i]
+    return groups
+
+
+def batched_blocks(make_stream, groups: List[List[str]],
+                   group_lengths: List[int], t: int,
+                   n_max: int, g_max: int) -> Iterator[FrameBatch]:
+    """Round B parallel clip-stream iterators into [B, T] frame blocks.
+
+    Streams wrap cyclically until the longest group is exhausted, so every
+    block has the same static shape (one XLA compilation). Wrapping restarts
+    a group's clips from scratch — each restart begins with new_seq=True,
+    exactly like the reference dataset's wrap-to-clip-0 behaviour
+    (src/dataset_classes/track_vod_3d.py:53-63); short groups therefore
+    see some frames more than once per epoch (deliberate oversampling in
+    exchange for a single block shape). Empty groups yield all-padding
+    frames whose masks zero out every loss term.
+
+    `make_stream(clips)` must return a re-iterable of (clip, rec).
+    """
+    b = len(groups)
+    pad = FrameBatch(*[np.asarray(x) for x in empty_frame(n_max, g_max)])
+
+    def cyclic(clips: List[str]) -> Iterator[FrameBatch]:
+        if not clips:
+            while True:
+                yield pad
+        while True:
+            n_yielded = 0
+            for _, rec in make_stream(clips):
+                n_yielded += 1
+                yield rec
+            if n_yielded == 0:       # all frames skipped → avoid spinning
+                while True:
+                    yield pad
+
+    iters = [cyclic(g) for g in groups]
+    # the longest group (estimated record count) drives the epoch length
+    rounds = max(1, -(-max(group_lengths) // t))
+    del b
+    for _ in range(rounds):
+        cols = [[next(it) for _ in range(t)] for it in iters]
+        yield FrameBatch(*[
+            np.stack([np.stack([np.asarray(getattr(r, f)) for r in col])
+                      for col in cols])
+            for f in FrameBatch._fields])

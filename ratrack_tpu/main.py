@@ -38,32 +38,106 @@ class Tee:
         self.f.flush()
 
 
+_SYNTH_CLIPS = ["synth_0", "synth_1", "synth_2", "synth_3"]
+_SYNTH_FRAMES = 6
+
+
+class _SynthStream:
+    """Synthetic-dataset stand-in with the VodTrackStream interface."""
+
+    def __init__(self, cfg, clips=None):
+        self.cfg = cfg
+        self.clips = clips if clips is not None else _SYNTH_CLIPS[:2]
+        self.skipped = []
+
+    def __len__(self):
+        return len(self.clips) * _SYNTH_FRAMES
+
+    def __iter__(self):
+        from .data.synthetic import synthetic_clip
+        for clip in self.clips:
+            ci = int(clip.split("_")[1])
+            for rec in synthetic_clip(
+                    ci, _SYNTH_FRAMES, n_max=self.cfg.n_max,
+                    g_max=self.cfg.g_max,
+                    n_static=min(60, self.cfg.n_max - 64)):
+                yield clip, rec
+
+
 def _build_stream(cfg, split):
     if cfg.dataset == "vod":
         from .data.pipeline import VodTrackStream
         return VodTrackStream(cfg, split=split)
     if cfg.dataset == "synthetic":
-        from .data.synthetic import synthetic_clip
-
-        class _SynthStream:
-            def __init__(self, cfg):
-                self.cfg = cfg
-                self.clips = ["synth_0", "synth_1"]
-                self.skipped = []
-
-            def __len__(self):
-                return 2 * 6
-
-            def __iter__(self):
-                for ci, clip in enumerate(self.clips):
-                    for rec in synthetic_clip(
-                            ci, 6, n_max=self.cfg.n_max,
-                            g_max=self.cfg.g_max,
-                            n_static=min(60, self.cfg.n_max - 64)):
-                        yield clip, rec
-
         return _SynthStream(cfg)
     raise ValueError(f"dataset not supported: {cfg.dataset}")
+
+
+def _stream_factory(cfg, split):
+    """(make_stream, clips, per-clip record-count estimates) for batching."""
+    if cfg.dataset == "vod":
+        from .data.pipeline import VodTrackStream
+        base = VodTrackStream(cfg, split=split)
+        lengths = [max(0, len(base.clip_frames(c)) - 1) for c in base.clips]
+        return (lambda clips: VodTrackStream(cfg, split=split, clips=clips),
+                list(base.clips), lengths)
+    if cfg.dataset == "synthetic":
+        return (lambda clips: _SynthStream(cfg, clips=clips),
+                list(_SYNTH_CLIPS), [_SYNTH_FRAMES] * len(_SYNTH_CLIPS))
+    raise ValueError(f"dataset not supported: {cfg.dataset}")
+
+
+def run_train_epoch_batched(cfg, ts, scan_train, split, ep: int, log: Tee,
+                            mesh=None):
+    """One epoch of dp×scan_frames fused training.
+
+    Clips are balance-partitioned into cfg.dp parallel streams; each
+    dispatch runs scan_frames sequential per-frame optimizer steps over all
+    streams at once (train/step.py:make_scan_train_step). With a mesh, the
+    stream axis is sharded over 'dp' and gradients all-reduce over ICI.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .data.pipeline import split_clips_balanced, batched_blocks
+    from .tracker.state import init_state
+    from .parallel import shard_clips, replicate
+
+    make_stream, clips, lengths = _stream_factory(cfg, split)
+    groups = split_clips_balanced(clips, lengths, cfg.dp)
+    group_lengths = [sum(lengths[clips.index(c)] for c in g) if g else 0
+                     for g in groups]
+    t = max(1, cfg.scan_frames)
+    pretrain = jnp.asarray(ep < cfg.pretrain_epochs)
+
+    tstates = jax.vmap(
+        lambda _: init_state(cfg.k_max, cfg.gru_layers, cfg.feat_dim))(
+        jnp.arange(cfg.dp))
+    if mesh is not None:
+        ts = ts._replace(params=replicate(mesh, ts.params),
+                         batch_stats=replicate(mesh, ts.batch_stats),
+                         opt_state=replicate(mesh, ts.opt_state))
+        tstates = shard_clips(mesh, tstates)
+
+    totals: Dict[str, float] = {}
+    count = 0
+    t0 = time.time()
+    for block in batched_blocks(make_stream, groups, group_lengths, t,
+                                cfg.n_max, cfg.g_max):
+        block = jax.tree_util.tree_map(jnp.asarray, block)
+        if mesh is not None:
+            block = shard_clips(mesh, block)
+        ts, tstates, items = scan_train(ts, tstates, block, pretrain)
+        count += t * cfg.dp
+        for k, v in items.items():
+            totals[k] = totals.get(k, 0.0) + float(
+                np.sum(np.mean(np.asarray(v), axis=1))) / t
+    dt = time.time() - t0
+    mean_items = {k: v / max(count // (t * cfg.dp), 1)
+                  for k, v in totals.items()}
+    log.print(f"[train/batched] epoch {ep}: {count} frame-steps in {dt:.1f}s"
+              f" ({count / max(dt, 1e-9):.1f} fps) "
+              + " ".join(f"{k}={v:.4f}" for k, v in mean_items.items()))
+    return ts, mean_items
 
 
 def run_epoch(cfg, model, ts, step_fns, stream, mode: str, ep: int,
@@ -175,9 +249,12 @@ def main(argv=None):
     stream = _build_stream(cfg, "val" if cfg.eval else "train")
     first = next(iter(stream))[1]
     steps_per_epoch = len(stream)
+    # in batched mode one optimizer step covers dp frames, so the LR
+    # schedule's per-epoch transition count shrinks accordingly
+    opt_steps_per_epoch = max(1, steps_per_epoch // max(1, cfg.dp))
     ts = create_train_state(model, cfg, first, init_state(cfg.k_max),
-                            steps_per_epoch, seed=cfg.seed)
-    tx = make_optimizer(cfg, steps_per_epoch)
+                            opt_steps_per_epoch, seed=cfg.seed)
+    tx = make_optimizer(cfg, opt_steps_per_epoch)
     step_fns = (make_train_step(model, tx), make_eval_step(model))
 
     if cfg.continue_model and ckpt.latest_exists(models_dir, "last"):
@@ -195,15 +272,40 @@ def main(argv=None):
     if cfg.eval:
         run_epoch(cfg, model, ts, step_fns, stream, "eval", 10 ** 6, log,
                   results_dir=cfg.results_dir)
+        if cfg.dataset == "vod":
+            # offline MOT scoring over the exported results — the step the
+            # reference leaves to unreleased scripts (README.md:174-176)
+            from .eval.run import evaluate_results, format_table
+            m = evaluate_results(cfg.results_dir, cfg.dataset_path,
+                                 split="val",
+                                 min_obj_points=cfg.min_obj_points)
+            log.print(format_table(m))
         log.print("FINISH")
         return
+
+    batched = cfg.dp > 1 or cfg.scan_frames > 0
+    scan_train = mesh = None
+    if batched:
+        from .train.step import make_scan_train_step
+        from .parallel import make_mesh
+        scan_train = make_scan_train_step(model, tx)
+        if cfg.dp > 1 and len(jax.devices()) >= cfg.dp:
+            mesh = make_mesh(cfg.dp)
+            log.print(f"mesh: dp={cfg.dp} over {mesh.devices}")
+        elif cfg.dp > 1:
+            log.print(f"dp={cfg.dp} streams on {len(jax.devices())} "
+                      "device(s): batched but unsharded")
 
     best = np.inf
     history: List[Dict[str, float]] = []
     for ep in range(cfg.epochs):
-        stream = _build_stream(cfg, "train")
-        ts, items, _, _ = run_epoch(cfg, model, ts, step_fns, stream,
-                                    "train", ep, log)
+        if batched:
+            ts, items = run_train_epoch_batched(cfg, ts, scan_train,
+                                                "train", ep, log, mesh)
+        else:
+            stream = _build_stream(cfg, "train")
+            ts, items, _, _ = run_epoch(cfg, model, ts, step_fns, stream,
+                                        "train", ep, log)
         history.append(items)
         ckpt.save_train_state(models_dir, "last", ts)
         ckpt.save_train_state(models_dir, f"last{ep}", ts)

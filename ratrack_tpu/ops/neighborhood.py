@@ -103,29 +103,21 @@ def ball_query(radius: float, nsample: int, points: jnp.ndarray,
     Returns:
       (M, nsample) int32 indices into `points`.
     """
-    n = points.shape[0]
     d2 = square_distance(centers, points)  # (M, N)
     hit = d2 < (radius * radius)
     if points_mask is not None:
         hit = jnp.logical_and(hit, points_mask[None, :])
-    # rank of each hit along the point axis: 1, 2, 3, ... (0 for non-hits)
-    rank = jnp.cumsum(hit.astype(jnp.int32), axis=1) * hit.astype(jnp.int32)
-    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    # index of the s-th hit per center; argmax returns 0 when absent.
-    # one matmul-free gather per sample slot: s in [1, nsample]
-    def slot(s):
-        is_s = rank == s
-        found = jnp.any(is_s, axis=1)
-        idx_s = jnp.argmax(is_s, axis=1).astype(jnp.int32)
-        return idx_s, found
-    idx0, found0 = slot(1)
-    first = jnp.where(found0, idx0, 0)  # no hit at all -> 0 (CUDA zero-init)
-    slots = [first]
-    for s in range(2, nsample + 1):
-        idx_s, found_s = slot(s)
-        slots.append(jnp.where(found_s, idx_s, first))
-    del col, n
-    return jnp.stack(slots, axis=1)
+    # first nsample hits in index order via one top_k over the negated
+    # column index (single fused op — a per-slot argmax loop blows up
+    # compile time and a scatter is slow on TPU).
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    keys = jnp.where(hit, -cols.astype(jnp.float32), -jnp.float32(jnp.inf))
+    vals, idx = jax.lax.top_k(keys, nsample)   # descending → ascending col
+    found = vals > -jnp.float32(jnp.inf)
+    # CUDA padding rule: every slot is pre-filled with the first hit
+    # (ball_query_gpu.cu:34-41); no hit at all -> 0 (kernel zero-init).
+    first = jnp.where(found[:, :1], idx[:, :1], 0)
+    return jnp.where(found, idx, first).astype(jnp.int32)
 
 
 def three_nn(query: jnp.ndarray, points: jnp.ndarray,

@@ -65,12 +65,8 @@ def create_train_state(model, cfg, example_frame, example_track_state,
         step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(model, tx):
-    """Returns train_step(ts, track_states, frames, pretrain) →
-    (ts', track_states', items).
-
-    frames / track_states carry a leading clip-batch axis B.
-    """
+def _make_loss_fn(model):
+    """Mean-over-clip-streams loss: vmap over the leading batch axis B."""
 
     def loss_fn(params, batch_stats, track_states, frames, pretrain):
         def one(frame, tstate):
@@ -86,19 +82,72 @@ def make_train_step(model, tx):
             lambda x: jnp.mean(x, axis=0), muts)
         return loss, (new_ts, items, new_stats)
 
+    return loss_fn
+
+
+def _sgd_frame(tx, loss_fn, ts: TrainState, track_states: TrackState,
+               frames, pretrain):
+    """One frame across all streams: grad → optimizer → new state."""
+    grads, (new_track, items, new_stats) = jax.grad(
+        loss_fn, has_aux=True)(ts.params, ts.batch_stats,
+                               track_states, frames, pretrain)
+    updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+    new_params = optax.apply_updates(ts.params, updates)
+    new_ts = TrainState(new_params, new_stats, new_opt, ts.step + 1)
+    return new_ts, new_track, items
+
+
+def make_train_step(model, tx):
+    """Returns train_step(ts, track_states, frames, pretrain) →
+    (ts', track_states', items).
+
+    frames / track_states carry a leading clip-batch axis B.
+    """
+    loss_fn = _make_loss_fn(model)
+
     @jax.jit
     def train_step(ts: TrainState, track_states: TrackState,
                    frames, pretrain) -> Tuple[TrainState, TrackState,
                                               Dict[str, jnp.ndarray]]:
-        grads, (new_track, items, new_stats) = jax.grad(
-            loss_fn, has_aux=True)(ts.params, ts.batch_stats,
-                                   track_states, frames, pretrain)
-        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-        new_params = optax.apply_updates(ts.params, updates)
-        new_ts = TrainState(new_params, new_stats, new_opt, ts.step + 1)
-        return new_ts, new_track, items
+        return _sgd_frame(tx, loss_fn, ts, track_states, frames, pretrain)
 
     return train_step
+
+
+def make_scan_train_step(model, tx):
+    """T per-frame optimizer steps fused into ONE dispatch.
+
+    The reference steps the optimizer once per frame with recurrent state
+    detached between frames (src/main_utils.py:158-163,248-251). Those exact
+    semantics survive fusion: the TrainState (params + Adam moments) is the
+    lax.scan carry, so the compiled program performs T sequential
+    grad→update→apply rounds — numerically identical to T `train_step`
+    calls — while paying host/dispatch latency once per block instead of
+    once per frame. Under a 'dp' mesh the mean-over-streams gradient makes
+    XLA insert one psum per frame over ICI.
+
+    Args to the returned fn: (ts, track_states[B], frames[B, T, ...],
+    pretrain) → (ts', track_states', items[T, B]).
+    """
+    loss_fn = _make_loss_fn(model)
+
+    @jax.jit
+    def scan_train(ts: TrainState, track_states: TrackState, frames_bt,
+                   pretrain):
+        frames_tb = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1), frames_bt)
+
+        def body(carry, frames):
+            ts, tstates = carry
+            new_ts, new_track, items = _sgd_frame(
+                tx, loss_fn, ts, tstates, frames, pretrain)
+            return (new_ts, new_track), items
+
+        (ts, track_states), items = jax.lax.scan(
+            body, (ts, track_states), frames_tb)
+        return ts, track_states, items
+
+    return scan_train
 
 
 def make_eval_step(model):

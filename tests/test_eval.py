@@ -1,0 +1,241 @@
+"""Tests for the offline evaluation subsystem: export round-trip,
+Kalman box tracker lifecycle, and point-set MOT metrics."""
+
+import numpy as np
+import pytest
+
+from ratrack_tpu.eval.export import (format_frame_results,
+                                     write_frame_results,
+                                     parse_frame_results)
+from ratrack_tpu.eval.kalman import BoxDet, KalmanTracker
+from ratrack_tpu.eval.mot_metrics import (point_set_iou, clear_mot,
+                                          integrated_mot)
+
+
+def _pts(seed, n=6, offset=0.0):
+    r = np.random.RandomState(seed)
+    return (r.randn(n, 3) + offset).astype(np.float32)
+
+
+class TestExportRoundTrip:
+    def test_round_trip(self, tmp_path):
+        labels = np.array([0, 0, 1, -1, 1, 0])
+        track_ids = np.array([7, 3, -1])
+        confs = np.array([0.9, 0.5, 0.0])
+        pc1 = np.arange(18, dtype=np.float32).reshape(6, 3)
+        text = format_frame_results(labels, track_ids, confs, 2, pc1)
+        path = write_frame_results(str(tmp_path), "delft_1", 42, text)
+        assert path.endswith("delft_1/00042.txt")
+        preds = parse_frame_results(path)
+        assert len(preds) == 2
+        conf0, tid0, pts0 = preds[0]
+        assert tid0 == 7 and conf0 == pytest.approx(0.9)
+        np.testing.assert_allclose(pts0, pc1[[0, 1, 5]])
+        conf1, tid1, pts1 = preds[1]
+        assert tid1 == 3
+        np.testing.assert_allclose(pts1, pc1[[2, 4]])
+
+    def test_empty_cluster_skipped(self):
+        labels = np.array([-1, -1])
+        text = format_frame_results(labels, np.array([1]), np.array([1.0]),
+                                    1, np.zeros((2, 3)))
+        assert text == ""
+
+    def test_reference_line_format(self):
+        """First 4 tokens are the fixed 'NA 1 -1 -1' prefix
+        (src/main_utils.py:166-184)."""
+        labels = np.array([0])
+        text = format_frame_results(labels, np.array([5]), np.array([0.25]),
+                                    1, np.ones((1, 3)))
+        t = text.split()
+        assert t[:4] == ["NA", "1", "-1", "-1"]
+        assert float(t[4]) == 0.25 and int(t[5]) == 5
+
+
+class TestKalmanTracker:
+    def test_stable_ids_two_objects(self):
+        trk = KalmanTracker(min_hits=2, max_age=3)
+        ids_per_frame = []
+        for t in range(8):
+            dets = [BoxDet(np.array([0.5 * t, 0.0, 0.0]), 0.0,
+                           np.array([4.0, 2.0, 1.5])),
+                    BoxDet(np.array([10.0, -0.3 * t, 0.0]), 0.0,
+                           np.array([1.0, 1.0, 2.0]))]
+            out = trk.track(dets)
+            ids_per_frame.append(sorted(i for i, _, _ in out))
+        # both tracked with persistent ids from the start of output
+        assert all(ids == ids_per_frame[-1] for ids in ids_per_frame[2:])
+        assert len(ids_per_frame[-1]) == 2
+
+    def test_velocity_prediction(self):
+        """CV filter should keep locking on a fast-but-linear mover."""
+        trk = KalmanTracker(min_hits=1, max_age=2, match_dist=2.0)
+        ids = set()
+        for t in range(12):
+            out = trk.track([BoxDet(np.array([1.2 * t, 0.0, 0.0]), 0.0,
+                                    np.ones(3))])
+            ids.update(i for i, _, _ in out)
+        assert len(ids) == 1
+
+    def test_death_after_max_age(self):
+        trk = KalmanTracker(min_hits=1, max_age=2)
+        trk.track([BoxDet(np.zeros(3), 0.0, np.ones(3))])
+        for _ in range(4):
+            trk.track([])
+        assert not trk.tracks
+
+    def test_birth_needs_min_hits(self):
+        trk = KalmanTracker(min_hits=3, max_age=8)
+        trk.frame = 100   # past the startup grace period
+        out = trk.track([BoxDet(np.zeros(3), 0.0, np.ones(3))])
+        assert out == []
+
+    def test_ego_motion_compensation(self):
+        """A static object under pure ego translation stays matched."""
+        trk = KalmanTracker(min_hits=1, max_age=1, match_dist=1.0)
+        ids = set()
+        for t in range(6):
+            # ego moves +2 x per frame; the object is static in world frame
+            # so in ego frame it appears at -2t. ego_motion maps previous
+            # ego frame into current: translation +2 x.
+            ego = np.eye(4)
+            ego[0, 3] = 2.0
+            out = trk.track(
+                [BoxDet(np.array([-2.0 * t, 0.0, 0.0]), 0.0, np.ones(3))],
+                ego_motion=ego if t else None)
+            ids.update(i for i, _, _ in out)
+        assert len(ids) == 1
+
+
+class TestPointSetIoU:
+    def test_identical(self):
+        a = _pts(0)
+        assert point_set_iou(a, a) == pytest.approx(1.0)
+
+    def test_disjoint(self):
+        assert point_set_iou(_pts(0), _pts(0) + 100.0) == 0.0
+
+    def test_partial(self):
+        a = _pts(0, n=4)
+        b = np.concatenate([a[:2], a[2:] + 50.0])
+        # |∩| = 2, |∪| = 4 + 4 - 2 = 6
+        assert point_set_iou(a, b) == pytest.approx(2 / 6)
+
+    def test_empty(self):
+        assert point_set_iou(np.zeros((0, 3)), _pts(0)) == 0.0
+
+
+def _perfect_scenario(n_frames=6):
+    """Two GT objects tracked perfectly with constant ids."""
+    gt_frames, pred_frames = [], []
+    for t in range(n_frames):
+        a, b = _pts(t, offset=0.0), _pts(100 + t, offset=30.0)
+        gt_frames.append({1: a, 2: b})
+        pred_frames.append([(0.9, 11, a.copy()), (0.8, 22, b.copy())])
+    return gt_frames, pred_frames
+
+
+class TestClearMot:
+    def test_perfect(self):
+        g, p = _perfect_scenario()
+        m = clear_mot(g, p)
+        assert m["mota"] == pytest.approx(1.0)
+        assert m["motp"] == pytest.approx(1.0)
+        assert m["idsw"] == 0 and m["mt"] == 1.0 and m["ml"] == 0.0
+
+    def test_id_switch_counted(self):
+        g, p = _perfect_scenario()
+        # swap the track id of object 1 halfway
+        half = len(p) // 2
+        p = [frame if t < half else
+             [(c, 99 if tid == 11 else tid, pts) for c, tid, pts in frame]
+             for t, frame in enumerate(p)]
+        m = clear_mot(g, p)
+        assert m["idsw"] == 1
+        assert m["mota"] < 1.0
+
+    def test_false_positives_penalized(self):
+        g, p = _perfect_scenario()
+        p = [frame + [(0.5, 77, _pts(500 + t, offset=-40.0))]
+             for t, frame in enumerate(p)]
+        m = clear_mot(g, p)
+        assert m["fp"] == len(g)
+        assert m["mota"] == pytest.approx(1.0 - len(g) / (2 * len(g)))
+
+    def test_conf_threshold_drops_preds(self):
+        g, p = _perfect_scenario()
+        m = clear_mot(g, p, conf_thres=0.85)   # drops the 0.8 track
+        assert m["fn"] == len(g)
+        assert m["recall"] == pytest.approx(0.5)
+
+
+class TestIntegratedMot:
+    def test_perfect_saturates(self):
+        g, p = _perfect_scenario()
+        m = integrated_mot(g, p)
+        # sAMOTA's scale adjustment removes the FN-at-low-recall penalty,
+        # so a perfect tracker saturates it. Raw AMOTA does not saturate:
+        # at every target recall below the first operating point (conf 0.9
+        # → recall 0.5) MOTA is dragged down by the protocol-mandated FNs —
+        # 0.5 for half the targets, 1.0 above → 0.75. This mirrors why the
+        # reference table's AMOTA (31.5) is far below its SAMOTA (74.2).
+        assert m["samota"] == pytest.approx(1.0, abs=1e-6)
+        assert m["amota"] == pytest.approx(0.75, abs=1e-6)
+        assert m["amotp"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_low_conf_junk_hurts_less_than_high_conf(self):
+        g, p = _perfect_scenario()
+        junk = lambda conf: [(conf, 1000 + t, _pts(900 + t, offset=60.0))
+                             for t in range(len(g))]
+        p_low = [frame + [j] for frame, j in zip(p, junk(0.01))]
+        p_high = [frame + [j] for frame, j in zip(p, junk(0.99))]
+        m_low = integrated_mot(g, p_low)
+        m_high = integrated_mot(g, p_high)
+        assert m_low["samota"] >= m_high["samota"]
+
+    def test_no_preds(self):
+        g, _ = _perfect_scenario()
+        m = integrated_mot(g, [[] for _ in g])
+        assert m["samota"] == 0.0 and m["amota"] == 0.0
+
+
+class TestOfflineEvalEndToEnd:
+    """Full offline-eval path over a VoD fixture tree: GT reconstruction
+    from raw files + result-file parsing + metric aggregation."""
+
+    def test_perfect_results_score_one(self, tmp_path):
+        from ratrack_tpu.config import Config
+        from ratrack_tpu.data.fixture import make_vod_fixture
+        from ratrack_tpu.data.pipeline import VodTrackStream, CLIP_RANGES
+        from ratrack_tpu.eval.run import (gt_point_sets, evaluate_results,
+                                          format_table)
+
+        root = str(tmp_path / "vod")
+        results = str(tmp_path / "results")
+        # delft_10 is the shortest val clip (35 frames); fixture 8 frames
+        first, _ = CLIP_RANGES["delft_10"]
+        frames = range(first, first + 8)
+        make_vod_fixture(root, frames)
+
+        # fabricate perfect result files straight from reconstructed GT
+        stream = VodTrackStream(Config(dataset_path=root), split="val")
+        from ratrack_tpu.eval.export import write_frame_results
+        for f in list(frames)[1:]:
+            gts = gt_point_sets(stream, f)
+            assert gts, "fixture must produce moving GT objects"
+            lines = []
+            for oid, pts in gts.items():
+                parts = ["NA", "1", "-1", "-1", "0.9", str(1000 + oid)]
+                for p in pts:
+                    parts.extend(str(float(v)) for v in p)
+                lines.append(" ".join(parts))
+            write_frame_results(results, "delft_10", f,
+                                "\n".join(lines) + "\n")
+
+        m = evaluate_results(results, root, split="val")
+        assert m["samota"] == pytest.approx(1.0, abs=1e-6)
+        assert m["mota"] == pytest.approx(1.0)
+        assert m["idsw"] == 0
+        assert "delft_10" in m["per_clip"]
+        table = format_table(m)
+        assert "SAMOTA" in table and "100.00" in table

@@ -108,6 +108,110 @@ def test_train_step_reduces_seg_loss():
     assert last < first, (first, last)
 
 
+@pytest.mark.slow
+def test_scan_train_matches_sequential_steps():
+    """Fused scan training == per-frame train_step calls.
+
+    At T=1 the two compiled programs are bit-exact. At T>1 XLA compiles
+    the scan body with different fusion choices, and discrete selections
+    (top_k neighbors, DBSCAN) amplify float noise across steps — so the
+    multi-step check asserts threading structure (per-step losses track the
+    sequential run, step counter, finiteness) rather than bit equality.
+    """
+    from ratrack_tpu.train.step import make_scan_train_step
+
+    model = tiny_model()
+    cfg = tiny_cfg()
+    frames_list = clip(2, 3)
+    ts0 = create_train_state(model, cfg, frames_list[0], init_state(K),
+                             steps_per_epoch=3)
+    tx = make_optimizer(cfg, 3)
+    train_step = make_train_step(model, tx)
+    scan_train = make_scan_train_step(model, tx)
+    b = 2
+
+    def batchify(f):
+        return FrameBatch(*[jnp.asarray(
+            np.broadcast_to(np.asarray(x)[None], (b,) + np.asarray(x).shape))
+            for x in f])
+
+    tstates = jax.vmap(lambda _: init_state(K))(jnp.arange(b))
+
+    # --- T=1: bit-exact equivalence ---
+    ts_a, _, items_a = train_step(ts0, tstates, batchify(frames_list[0]),
+                                  jnp.asarray(False))
+    block1 = jax.tree_util.tree_map(lambda x: x[:, None],
+                                    batchify(frames_list[0]))
+    ts_b, _, items_b = scan_train(ts0, tstates, block1, jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(items_a["Loss"]),
+                                  np.asarray(items_b["Loss"][0]))
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        ts_a.params, ts_b.params)
+
+    # --- T=3: structural equivalence ---
+    ts_seq, tst_seq = ts0, tstates
+    seq_losses = []
+    for f in frames_list:
+        ts_seq, tst_seq, items = train_step(ts_seq, tst_seq, batchify(f),
+                                            jnp.asarray(False))
+        seq_losses.append(float(jnp.mean(items["Loss"])))
+
+    block = FrameBatch(*[jnp.asarray(
+        np.broadcast_to(np.stack([np.asarray(getattr(f, name))
+                                  for f in frames_list])[None],
+                        (b, len(frames_list))
+                        + np.asarray(getattr(frames_list[0], name)).shape))
+        for name in FrameBatch._fields])
+    ts_scan, _, items_scan = scan_train(ts0, tstates, block,
+                                        jnp.asarray(False))
+    scan_losses = np.mean(np.asarray(items_scan["Loss"]), axis=1)
+    assert np.isfinite(scan_losses).all()
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=0.1)
+    assert int(ts_scan.step) == int(ts_seq.step) == len(frames_list)
+
+
+def test_split_clips_balanced():
+    from ratrack_tpu.data.pipeline import split_clips_balanced
+    groups = split_clips_balanced(["a", "b", "c", "d"], [10, 1, 5, 6], 2)
+    totals = sorted(sum({"a": 10, "b": 1, "c": 5, "d": 6}[c] for c in g)
+                    for g in groups)
+    assert totals == [11, 11]
+    # more groups than clips → empties allowed
+    groups = split_clips_balanced(["a"], [3], 3)
+    assert sum(len(g) for g in groups) == 1
+
+
+def test_batched_blocks_shapes_and_wrap():
+    from ratrack_tpu.data.pipeline import batched_blocks
+
+    def make_stream(clips):
+        def gen():
+            for c in clips:
+                n = {"long": 5, "short": 2}[c]
+                for i, rec in enumerate(
+                        synthetic_clip(hash(c) % 100, n, n_max=N, g_max=G,
+                                       n_static=40, n_objects=2,
+                                       pts_per_obj=8)):
+                    yield c, rec
+        return list(gen())   # re-iterable
+
+    blocks = list(batched_blocks(make_stream, [["long"], ["short"]],
+                                 [5, 2], 2, N, G))
+    assert len(blocks) == 3          # ceil(5 / 2)
+    for blk in blocks:
+        assert blk.pc1.shape == (2, 2, N, 3)
+        assert blk.new_seq.shape == (2, 2)
+    # the short stream wraps: its records repeat with new_seq=True restarts
+    short_new_seq = np.concatenate([np.asarray(b.new_seq[1]) for b in blocks])
+    assert short_new_seq.sum() >= 2  # at least 2 restarts in 6 slots
+    # empty group → all-padding frames
+    blocks = list(batched_blocks(make_stream, [["short"], []], [2, 0],
+                                 2, N, G))
+    assert not np.asarray(blocks[0].mask1[1]).any()
+
+
 def test_eval_step_runs_and_is_deterministic():
     model = tiny_model()
     cfg = tiny_cfg()

@@ -20,7 +20,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import knn, group
+from ..ops import knn_auto as knn, group
 from .layers import PointwiseMLP, WeightNet
 
 

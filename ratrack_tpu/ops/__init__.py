@@ -1,12 +1,14 @@
 """Masked fixed-shape point-cloud ops (TPU replacement for pointnet2_cuda)."""
 
-from .neighborhood import square_distance, knn, ball_query, three_nn
+from .neighborhood import (square_distance, knn, knn_chunked,
+                           knn_auto, ball_query, three_nn)
 from .sampling import furthest_point_sample, identity_sample, gather, group
 from .grouping import (query_and_group, three_interpolate,
                        three_interpolate_weights, interpolate_features)
 
 __all__ = [
-    "square_distance", "knn", "ball_query", "three_nn",
+    "square_distance", "knn", "knn_chunked", "knn_auto",
+    "ball_query", "three_nn",
     "furthest_point_sample", "identity_sample", "gather", "group",
     "query_and_group", "three_interpolate", "three_interpolate_weights",
     "interpolate_features",

@@ -120,6 +120,40 @@ def ball_query(radius: float, nsample: int, points: jnp.ndarray,
     return jnp.where(found, idx, first).astype(jnp.int32)
 
 
+def knn_chunked(k: int, query: jnp.ndarray, points: jnp.ndarray,
+                points_mask: jnp.ndarray | None = None,
+                chunk: int = 512):
+    """kNN with HBM bounded to chunk×M: lax.map over query tiles.
+
+    Identical results to `knn` (same distance formula and top_k per tile);
+    memory never exceeds chunk·M instead of N·M. For the 4k–16k stretch
+    configs where the dense (N, M) matrix is 0.25–1 GB
+    (SURVEY.md §5 long-context scaling). See ops.pallas_knn for the
+    VMEM-resident Pallas variant.
+    """
+    n = query.shape[0]
+    n_pad = -(-n // chunk) * chunk
+    qp = jnp.zeros((n_pad, query.shape[1]), query.dtype).at[:n].set(query)
+
+    def one(q_tile):
+        return knn(k, q_tile, points, points_mask)
+
+    d2, idx = jax.lax.map(one, qp.reshape(-1, chunk, query.shape[1]))
+    return (d2.reshape(n_pad, k)[:n], idx.reshape(n_pad, k)[:n])
+
+
+# dense N·M footprint above which knn() switches to the chunked path
+_KNN_DENSE_LIMIT = 4 * 1024 * 1024
+
+
+def knn_auto(k: int, query: jnp.ndarray, points: jnp.ndarray,
+             points_mask: jnp.ndarray | None = None):
+    """Size-dispatched kNN: dense under ~4M pair footprint, chunked above."""
+    if query.shape[0] * points.shape[0] > _KNN_DENSE_LIMIT:
+        return knn_chunked(k, query, points, points_mask)
+    return knn(k, query, points, points_mask)
+
+
 def three_nn(query: jnp.ndarray, points: jnp.ndarray,
              points_mask: jnp.ndarray | None = None):
     """3 nearest neighbors; returns euclidean (not squared) distances.

@@ -60,6 +60,9 @@ class Config:
     dtype: str = "float32"         # compute dtype for MLPs ("bfloat16" on TPU)
     dp: int = 1                    # data-parallel mesh size (clips axis)
     scan_frames: int = 0           # >0: lax.scan over this many frames/step
+    prefetch_depth: int = 4        # host-side block prefetch queue depth
+    profile_dir: str = ""          # non-empty: dump a jax profiler trace here
+    vis_dir: str = ""              # non-empty: eval renders BEV PNGs here
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

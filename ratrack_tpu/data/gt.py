@@ -52,9 +52,13 @@ def box_from_label(label: ObjectLabel, transforms: Transforms) -> OrientedBox:
 
 
 def points_in_obb(points: np.ndarray, box: OrientedBox) -> np.ndarray:
-    """(N,3) → (N,) bool, closed in-box test in the box frame."""
-    local = (points.astype(np.float64) - box.center) @ box.rot
-    return np.all(np.abs(local) <= box.extent / 2.0 + 1e-9, axis=1)
+    """(N,3) → (N,) bool, closed in-box test in the box frame.
+
+    Routed through the native C++ path when available (ratrack_tpu.data
+    .native, same closed-inequality semantics); NumPy otherwise.
+    """
+    from .native import points_in_obb as native_obb
+    return native_obb(points, box.center, box.rot, box.extent)
 
 
 @dataclasses.dataclass

@@ -181,6 +181,45 @@ class VodTrackStream:
                 yield clip, rec
 
 
+class Prefetcher:
+    """Background-thread iterator prefetch with a bounded queue.
+
+    Overlaps host-side record assembly (file decode, GT construction,
+    padding — the work the reference does synchronously inside its epoch
+    loop between device steps) with device compute. Exceptions from the
+    producer re-raise at the consumer.
+    """
+
+    _END = object()
+
+    def __init__(self, iterable, depth: int = 4):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: List[BaseException] = []
+
+        def run():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:          # re-raised on the consumer
+                self._err.append(e)
+            finally:
+                self._q.put(self._END)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._END:
+                if self._err:
+                    raise self._err[0]
+                return
+            yield item
+
+
 def split_clips_balanced(clips: List[str], lengths: List[int],
                          n_groups: int) -> List[List[str]]:
     """Greedy longest-first partition of clips into n_groups balanced by

@@ -136,15 +136,15 @@ class FrameData:
 
     @cached_property
     def radar(self) -> np.ndarray:
+        from .native import decode_scan
         p = os.path.join(self.loc.radar_dir, f"{self.frame_number}.bin")
-        return self._read(p, lambda q: np.fromfile(
-            q, np.float32).reshape(-1, 7))
+        return self._read(p, lambda q: decode_scan(q, 7))
 
     @cached_property
     def lidar(self) -> np.ndarray:
+        from .native import decode_scan
         p = os.path.join(self.loc.lidar_dir, f"{self.frame_number}.bin")
-        return self._read(p, lambda q: np.fromfile(
-            q, np.float32).reshape(-1, 4))
+        return self._read(p, lambda q: decode_scan(q, 4))
 
     @cached_property
     def tracking_labels(self) -> List[str]:

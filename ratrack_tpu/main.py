@@ -226,6 +226,90 @@ def run_epoch(cfg, model, ts, step_fns, stream, mode: str, ep: int,
     return ts, mean_items, seg_m, flow_m
 
 
+def run_eval_epoch_scan(cfg, model, ts, stream, log: Tee,
+                        results_dir: str | None):
+    """Scan-fused eval: T frames per dispatch, per-clip sequential.
+
+    Chunks of cfg.scan_frames records per clip run through
+    make_scan_eval_step; the tail chunk pads by repeating its last record
+    (padded outputs are discarded; the polluted track state cannot leak —
+    the next clip's first record carries new_seq=True, which resets state
+    inside the model). Exports + metrics happen on host after each chunk.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .data.frames import FrameBatch
+    from .data.pipeline import Prefetcher
+    from .tracker.state import init_state
+    from .train.step import make_scan_eval_step
+    from .train.metrics import eval_scene_flow, eval_motion_seg
+    from .eval.export import format_frame_results, write_frame_results
+
+    scan_eval = make_scan_eval_step(model)
+    t = max(1, cfg.scan_frames)
+    variables = {"params": ts.params, "batch_stats": ts.batch_stats}
+    tstate = jax.tree_util.tree_map(
+        lambda x: x[None], init_state(cfg.k_max, cfg.gru_layers,
+                                      cfg.feat_dim))
+    seg_tot: Dict[str, float] = {}
+    flow_tot: Dict[str, float] = {}
+    count = 0
+    t0 = time.time()
+
+    def flush(clip, chunk, tstate):
+        nonlocal count
+        real = len(chunk)
+        chunk = chunk + [chunk[-1]] * (t - real)        # tail repeat-pad
+        block = FrameBatch(*[jnp.asarray(
+            np.stack([np.asarray(getattr(r, f)) for r in chunk])[None])
+            for f in FrameBatch._fields])
+        tstate, outs = scan_eval(variables, tstate, block)
+        outs = {k: np.asarray(v[0]) for k, v in outs.items()}
+        for i in range(real):
+            rec = chunk[i]
+            o = {k: v[i] for k, v in outs.items()}
+            valid = np.asarray(rec.mask1)
+            seg = eval_motion_seg((o["cls"] > cfg.mov_thres).astype(float),
+                                  np.asarray(rec.gt_cls).astype(float),
+                                  valid)
+            flow = eval_scene_flow(np.asarray(rec.pc1), o["warp"],
+                                   np.asarray(rec.gt_flow), o["cls"], valid)
+            for k, v in seg.items():
+                seg_tot[k] = seg_tot.get(k, 0.0) + v
+            for k, v in flow.items():
+                flow_tot[k] = flow_tot.get(k, 0.0) + v
+            if results_dir is not None:
+                text = format_frame_results(
+                    o["labels"], o["track_id"], o["conf"], int(o["n"]),
+                    np.asarray(rec.pc1))
+                write_frame_results(results_dir, clip,
+                                    int(rec.frame_number), text)
+            count += 1
+        return tstate
+
+    cur_clip, chunk = None, []
+    for clip, rec in Prefetcher(iter(stream), depth=cfg.prefetch_depth):
+        if clip != cur_clip and chunk:
+            tstate = flush(cur_clip, chunk, tstate)
+            chunk = []
+        cur_clip = clip
+        chunk.append(rec)
+        if len(chunk) == t:
+            tstate = flush(cur_clip, chunk, tstate)
+            chunk = []
+    if chunk:
+        flush(cur_clip, chunk, tstate)
+
+    dt = time.time() - t0
+    seg_m = {k: v / max(count, 1) for k, v in seg_tot.items()}
+    flow_m = {k: v / max(count, 1) for k, v in flow_tot.items()}
+    log.print(f"[eval/scan] {count} frames in {dt:.1f}s "
+              f"({count / max(dt, 1e-9):.1f} fps)")
+    log.print(f"segmentation: {seg_m}")
+    log.print(f"scene flow: {flow_m}")
+    return seg_m, flow_m
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="RaTrack-TPU driver")
     parser.add_argument("--config", type=str, default="configs/default.yaml")
@@ -296,8 +380,12 @@ def _run(cfg, log, models_dir, exp_dir):
                       "using fresh init")
 
     if cfg.eval:
-        run_epoch(cfg, model, ts, step_fns, stream, "eval", 10 ** 6, log,
-                  results_dir=cfg.results_dir)
+        if cfg.scan_frames > 0 and not cfg.vis_dir:
+            run_eval_epoch_scan(cfg, model, ts, stream, log,
+                                results_dir=cfg.results_dir)
+        else:
+            run_epoch(cfg, model, ts, step_fns, stream, "eval", 10 ** 6,
+                      log, results_dir=cfg.results_dir)
         if cfg.dataset == "vod":
             # offline MOT scoring over the exported results — the step the
             # reference leaves to unreleased scripts (README.md:174-176)

@@ -47,6 +47,7 @@ class Track4D(nn.Module):
     dbscan_eps: float = 1.5
     dbscan_max_iters: int = 64
     sinkhorn_iters: int = 500
+    sinkhorn_tol: float = 0.0
     sinkhorn_alpha: float = 0.9   # track4d.py:167 passes fixed 0.9
     match_conf_thres: float = 0.01
     mov_thres: float = 0.5
@@ -121,7 +122,8 @@ class Track4D(nn.Module):
 
         res = associate(aff, m, n, state.track_id, state.next_id,
                         jnp.float32(self.sinkhorn_alpha),
-                        self.sinkhorn_iters, self.match_conf_thres)
+                        self.sinkhorn_iters, self.match_conf_thres,
+                        sinkhorn_tol=self.sinkhorn_tol)
         curr_gt = greedy_gt_match(labels, frame.gt_dense,
                                   frame.gt_label_ids, frame.gt_valid,
                                   self.k_max, state.frame_idx)
@@ -151,6 +153,7 @@ def model_from_config(cfg) -> Track4D:
         gru_layers=cfg.gru_layers, min_obj_points=cfg.min_obj_points,
         dbscan_eps=cfg.dbscan_eps, dbscan_max_iters=cfg.dbscan_max_iters,
         sinkhorn_iters=cfg.sinkhorn_iters, sinkhorn_alpha=cfg.sinkhorn_alpha,
+        sinkhorn_tol=cfg.sinkhorn_tol,
         match_conf_thres=cfg.match_conf_thres, mov_thres=cfg.mov_thres,
         exact_fps=cfg.exact_fps,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,

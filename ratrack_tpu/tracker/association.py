@@ -129,7 +129,8 @@ class AssocResult(NamedTuple):
 def associate(aff: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray,
               prev_track_id: jnp.ndarray, next_id: jnp.ndarray,
               alpha: jnp.ndarray, iters: int,
-              conf_thres: float = 0.01) -> AssocResult:
+              conf_thres: float = 0.01,
+              sinkhorn_tol: float = 0.0) -> AssocResult:
     """Sinkhorn matching + ID inheritance.
 
     Mirrors sinkhorn_module + association_module (track4d.py:135-180):
@@ -137,7 +138,8 @@ def associate(aff: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray,
     conf = aff[match, j] < conf_thres, ids assigned in slot order.
     """
     k = aff.shape[0]
-    z = log_optimal_transport_masked(aff, m, n, alpha, iters)
+    z = log_optimal_transport_masked(aff, m, n, alpha, iters,
+                                     tol=sinkhorn_tol)
     scores = z[:k, :k]
     row_ok = jnp.arange(k) < m
     col_ok = jnp.arange(k) < n

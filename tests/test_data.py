@@ -132,3 +132,44 @@ def test_clip_ranges_cover_reference_counts():
     assert CLIP_RANGES["delft_1"] == (0, 543)
     total = sum(b - a + 1 for a, b in CLIP_RANGES.values())
     assert total == 8682  # sum of entries across the reference clips files
+
+
+class TestProjection:
+    """Devkit camera-projection parity (transformations.py:296-388)."""
+
+    def test_project_pinhole_center(self):
+        from ratrack_tpu.data.projection import project_pcl_to_image
+        # identity extrinsics, f=100 intrinsics centred at (320, 240)
+        # KITTI P-matrix convention: cx/cy in the 3rd column (scale by z)
+        p = np.array([[100.0, 0, 320, 0], [0, 100.0, 240, 0],
+                      [0, 0, 1.0, 0]], np.float32)
+        pts = np.array([[0.0, 0.0, 5.0],      # on axis → principal point
+                        [1.0, 0.0, 5.0],      # 100/5 = 20 px right
+                        [0.0, 0.0, -5.0],     # behind camera → dropped
+                        [50.0, 0.0, 5.0]],    # off canvas → dropped
+                       np.float32)
+        uvs, depth = project_pcl_to_image(pts, np.eye(4, dtype=np.float32),
+                                          p, (480, 640))
+        np.testing.assert_array_equal(uvs, [[320, 240], [340, 240]])
+        np.testing.assert_allclose(depth, [5.0, 5.0])
+
+    def test_extrinsic_applied_before_projection(self):
+        from ratrack_tpu.data.projection import project_pcl_to_image
+        p = np.array([[100.0, 0, 320, 0], [0, 100.0, 240, 0],
+                      [0, 0, 1.0, 0]], np.float32)
+        t = np.eye(4, dtype=np.float32)
+        t[2, 3] = 3.0                          # push points 3 m deeper
+        uvs, depth = project_pcl_to_image(
+            np.array([[0.0, 0.0, 2.0]], np.float32), t, p, (480, 640))
+        np.testing.assert_allclose(depth, [5.0])
+
+    def test_intrinsic_from_fixture_calib(self, tmp_path):
+        from ratrack_tpu.data.fixture import make_vod_fixture
+        from ratrack_tpu.data.projection import read_intrinsic
+        from ratrack_tpu.data.vod import VodLocations, FrameData
+        root = str(tmp_path / "vod")
+        make_vod_fixture(root, range(3575, 3577))
+        fd = FrameData(VodLocations(root), "03575")
+        intr = read_intrinsic(fd, "radar")
+        assert intr.shape == (3, 4)
+        np.testing.assert_allclose(intr, np.eye(3, 4))

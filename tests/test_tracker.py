@@ -83,6 +83,20 @@ def test_sinkhorn_matches_reference(rng):
     np.testing.assert_allclose(got[k, :n], want[m, :n], atol=2e-3)
 
 
+def test_sinkhorn_early_exit_matches_full(rng):
+    """tol-based early exit lands within tol of the full 500-iter result."""
+    m, n, k = 5, 4, 8
+    padded = np.zeros((k, k), np.float32)
+    padded[:m, :n] = rng.rand(m, n).astype(np.float32) * 2
+    full = np.asarray(log_optimal_transport_masked(
+        jnp.asarray(padded), jnp.asarray(m), jnp.asarray(n),
+        jnp.float32(0.9), 500))
+    fast = np.asarray(log_optimal_transport_masked(
+        jnp.asarray(padded), jnp.asarray(m), jnp.asarray(n),
+        jnp.float32(0.9), 500, tol=1e-5))
+    np.testing.assert_allclose(fast[:m, :n], full[:m, :n], atol=1e-3)
+
+
 def test_sinkhorn_empty_sides():
     k = 4
     z = log_optimal_transport_masked(

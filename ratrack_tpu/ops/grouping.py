@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .neighborhood import ball_query, three_nn
+from .neighborhood import ball_query_auto, three_nn
 from .sampling import group
 
 
@@ -31,7 +31,7 @@ def query_and_group(radius: float, nsample: int, xyz: jnp.ndarray,
     Returns:
       (M, nsample, 3+C) grouped tensor (or (M, nsample, 3) without features).
     """
-    idx = ball_query(radius, nsample, xyz, centers, xyz_mask)  # (M, S)
+    idx = ball_query_auto(radius, nsample, xyz, centers, xyz_mask)  # (M, S)
     grouped_xyz = group(xyz, idx) - centers[:, None, :]        # (M, S, 3)
     if features is None:
         assert use_xyz, "need features or use_xyz"

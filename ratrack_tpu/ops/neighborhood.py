@@ -172,6 +172,38 @@ def knn_chunked(k: int, query: jnp.ndarray, points: jnp.ndarray,
 _KNN_DENSE_LIMIT = 4 * 1024 * 1024
 
 
+def ball_query_chunked(radius: float, nsample: int, points: jnp.ndarray,
+                       centers: jnp.ndarray,
+                       points_mask: jnp.ndarray | None = None,
+                       chunk: int = 512) -> jnp.ndarray:
+    """ball_query with HBM bounded to chunk×N via lax.map over center tiles.
+
+    Identical results to `ball_query`; for stretch configs where the dense
+    (M, N) hit matrix would be hundreds of MB (16k×16k ≈ 1 GB)."""
+    m = centers.shape[0]
+    m_pad = -(-m // chunk) * chunk
+    cp = jnp.zeros((m_pad, centers.shape[1]),
+                   centers.dtype).at[:m].set(centers)
+
+    def one(c_tile):
+        return ball_query(radius, nsample, points, c_tile, points_mask)
+
+    idx = jax.lax.map(one, cp.reshape(-1, chunk, centers.shape[1]))
+    return idx.reshape(m_pad, nsample)[:m]
+
+
+def ball_query_auto(radius: float, nsample: int, points: jnp.ndarray,
+                    centers: jnp.ndarray,
+                    points_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Size-dispatched ball query (same policy as knn_auto)."""
+    if centers.shape[0] * points.shape[0] > _KNN_DENSE_LIMIT:
+        return ball_query_chunked(radius, nsample, points, centers,
+                                  points_mask)
+    return ball_query(radius, nsample, points, centers, points_mask)
+
+
+
+
 def knn_auto(k: int, query: jnp.ndarray, points: jnp.ndarray,
              points_mask: jnp.ndarray | None = None):
     """Size-dispatched kNN: dense under ~4M pair footprint, chunked above."""

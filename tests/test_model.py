@@ -121,3 +121,44 @@ def test_train_mode_updates_batch_stats_and_grads(model_and_params):
     aff_g = g["affinity"]
     assert any(float(jnp.sum(jnp.abs(x))) > 0
                for x in jax.tree_util.tree_leaves(aff_g))
+
+
+@pytest.mark.slow
+def test_forward_fps_path_npoint_lt_n():
+    """Stretch-shape path: n_max > npoints forces true FPS sampling
+    (BASELINE config 4 shape semantics at a CPU-testable scale)."""
+    from ratrack_tpu.data.synthetic import synthetic_clip
+    model = Track4D(npoint=64, k_max=8, sinkhorn_iters=20, exact_fps=True)
+    frame = synthetic_clip(3, 1, n_max=160, g_max=8, n_static=80,
+                           n_objects=2, pts_per_obj=8)[0]
+    frame = jax.tree_util.tree_map(jnp.asarray, frame)
+    state = init_state(8)
+    variables = jax.jit(
+        lambda k: model.init(k, frame, state, train=False))(
+        jax.random.PRNGKey(0))
+    out, new_state = jax.jit(
+        lambda v, f, s: model.apply(v, f, s, train=False))(
+        variables, frame, state)
+    assert np.isfinite(np.asarray(out["flow"])).all()
+    assert out["cls"].shape == (160,)
+    assert int(out["n"]) >= 0
+
+
+@pytest.mark.slow
+def test_forward_bfloat16():
+    """bf16 compute dtype: finite outputs, f32 feature tensor preserved."""
+    from ratrack_tpu.data.synthetic import synthetic_clip
+    model = Track4D(npoint=96, k_max=8, sinkhorn_iters=20,
+                    dtype=jnp.bfloat16)
+    frame = synthetic_clip(4, 1, n_max=96, g_max=8, n_static=40,
+                           n_objects=2, pts_per_obj=8)[0]
+    frame = jax.tree_util.tree_map(jnp.asarray, frame)
+    state = init_state(8)
+    variables = jax.jit(
+        lambda k: model.init(k, frame, state, train=False))(
+        jax.random.PRNGKey(0))
+    out, _ = jax.jit(
+        lambda v, f, s: model.apply(v, f, s, train=False))(
+        variables, frame, state)
+    assert np.isfinite(np.asarray(out["flow"], np.float32)).all()
+    assert out["feats"].dtype == jnp.float32   # 139-ch tensor stays f32

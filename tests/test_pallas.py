@@ -168,3 +168,17 @@ class TestPallasGather:
         got = take_rows(tbl, idx)     # m < threshold → jnp.take path
         np.testing.assert_array_equal(np.asarray(got),
                                       np.asarray(jnp.take(tbl, idx, axis=0)))
+
+
+@pytest.mark.parametrize("m,n,ns,chunk", [(300, 200, 8, 128),
+                                          (512, 512, 32, 256)])
+def test_ball_query_chunked_matches_dense(rng, m, n, ns, chunk):
+    from ratrack_tpu.ops.neighborhood import ball_query, ball_query_chunked
+    pts = _cloud(rng, n, spread=3.0)
+    ctr = _cloud(rng, m, spread=3.0)
+    mask = rng.rand(n) > 0.2
+    i_ref = ball_query(2.5, ns, jnp.asarray(pts), jnp.asarray(ctr),
+                       jnp.asarray(mask))
+    i_got = ball_query_chunked(2.5, ns, jnp.asarray(pts), jnp.asarray(ctr),
+                               jnp.asarray(mask), chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))

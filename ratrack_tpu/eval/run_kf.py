@@ -1,0 +1,127 @@
+"""Offline Kalman re-tracking over exported detections + MOT scoring.
+
+The reference vendors AB3DMOT for exactly this (SURVEY.md §2.4 L7,
+src/AB3DMOT_libs/model.py:17-542) but never wires it in (README.md:185-187
+"planned integration"). This CLI closes that gap: it reads the per-frame
+result dumps, treats each point-set track as a box DETECTION (centroid +
+axis-aligned extent, yaw 0 — radar point sets carry no orientation),
+re-associates them across frames with the constant-velocity Kalman tracker
+(`eval/kalman.py`, VoD params: hungarian, 3D centroid distance, thres 2 m,
+min_hits/max_age lifecycle), and scores the re-identified tracks with the
+same point-set-IoU MOT metrics as `eval.run` — so the learned Sinkhorn
+association and the classical KF association are directly comparable.
+
+Usage:
+    python -m ratrack_tpu.eval.run_kf --results ./results \
+        --dataset /path/to/vod --split val [--min-hits 4] [--max-age 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from ..config import Config
+from ..data.pipeline import VodTrackStream
+from .export import parse_frame_results
+from .kalman import BoxDet, KalmanTracker
+from .mot_metrics import integrated_mot, GTFrame, PredFrame
+from .run import gt_point_sets, format_table
+
+
+def dets_from_points(preds) -> List[BoxDet]:
+    """Point-set predictions → box detections (centroid + extent)."""
+    dets = []
+    for conf, _tid, pts in preds:
+        if pts.shape[0] == 0:
+            continue
+        lo, hi = pts.min(axis=0), pts.max(axis=0)
+        dets.append(BoxDet(xyz=(lo + hi) / 2.0, yaw=0.0,
+                           lwh=np.maximum(hi - lo, 0.1), conf=conf))
+    return dets
+
+
+def retrack_clip(frames: List[PredFrame], min_hits: int,
+                 max_age: int, match_dist: float) -> List[PredFrame]:
+    """Replace per-frame track ids with Kalman-tracker ids.
+
+    Detections the KF has not yet confirmed (hits < min_hits) are dropped,
+    mirroring AB3DMOT's output lifecycle.
+    """
+    trk = KalmanTracker(match_dist=match_dist, min_hits=min_hits,
+                        max_age=max_age)
+    out: List[PredFrame] = []
+    for preds in frames:
+        dets = dets_from_points(preds)
+        tracked = trk.track(dets)
+        # match tracker outputs back to this frame's point sets by centroid
+        centers = [np.asarray(d.xyz) for d in dets]
+        frame_out: PredFrame = []
+        for tid, box, conf in tracked:
+            if not centers:
+                break
+            dists = [np.linalg.norm(box.xyz - c) for c in centers]
+            j = int(np.argmin(dists))
+            if dists[j] < match_dist:
+                frame_out.append((conf, int(tid), preds[j][2]))
+        out.append(frame_out)
+    return out
+
+
+def evaluate_kf(results_dir: str, dataset_path: str, split: str = "val",
+                iou_thres: float = 0.25, min_obj_points: int = 2,
+                min_hits: int = 4, max_age: int = 8,
+                match_dist: float = 2.0) -> Dict[str, float]:
+    cfg = Config(dataset_path=dataset_path, min_obj_points=min_obj_points)
+    stream = VodTrackStream(cfg, split=split)
+    gt_all: List[GTFrame] = []
+    pred_all: List[PredFrame] = []
+    for clip in stream.clips:
+        clip_dir = os.path.join(results_dir, clip)
+        if not os.path.isdir(clip_dir):
+            continue
+        gts, preds = [], []
+        for name in sorted(os.listdir(clip_dir)):
+            if not name.endswith(".txt"):
+                continue
+            try:
+                g = gt_point_sets(stream, int(name[:-4]))
+            except (FileNotFoundError, ValueError, IndexError):
+                continue
+            gts.append(g)
+            preds.append(parse_frame_results(os.path.join(clip_dir, name)))
+        gt_all.extend(gts)
+        pred_all.extend(retrack_clip(preds, min_hits, max_age, match_dist))
+    return integrated_mot(gt_all, pred_all, iou_thres)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Kalman re-tracking + MOT scoring over results")
+    p.add_argument("--results", required=True)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--split", default="val",
+                   choices=["train", "val", "test"])
+    p.add_argument("--iou", type=float, default=0.25)
+    p.add_argument("--min-obj-points", type=int, default=2)
+    p.add_argument("--min-hits", type=int, default=4)
+    p.add_argument("--max-age", type=int, default=8)
+    p.add_argument("--match-dist", type=float, default=2.0)
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+    m = evaluate_kf(args.results, args.dataset, args.split, args.iou,
+                    args.min_obj_points, args.min_hits, args.max_age,
+                    args.match_dist)
+    if args.json:
+        print(json.dumps({k: v for k, v in m.items()
+                          if not isinstance(v, dict)}))
+    else:
+        print(format_table(m))
+
+
+if __name__ == "__main__":
+    main()

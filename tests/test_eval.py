@@ -239,3 +239,48 @@ class TestOfflineEvalEndToEnd:
         assert "delft_10" in m["per_clip"]
         table = format_table(m)
         assert "SAMOTA" in table and "100.00" in table
+
+
+class TestKalmanRetrack:
+    def test_retrack_relabels_consistently(self):
+        """Detections with RANDOM per-frame ids get stable KF ids."""
+        from ratrack_tpu.eval.run_kf import retrack_clip
+        rng = np.random.RandomState(0)
+        frames = []
+        for t in range(8):
+            a = _pts(t) + np.array([0.4 * t, 0, 0])
+            b = _pts(50 + t) + np.array([20.0, -0.3 * t, 0])
+            # ids change every frame: the Sinkhorn failure mode KF must fix
+            frames.append([(0.9, int(rng.randint(1000)), a),
+                           (0.8, int(rng.randint(1000)), b)])
+        out = retrack_clip(frames, min_hits=2, max_age=3, match_dist=3.0)
+        ids_per_frame = [sorted(tid for _, tid, _ in f) for f in out[2:]]
+        assert all(ids == ids_per_frame[0] for ids in ids_per_frame)
+        assert len(ids_per_frame[0]) == 2
+
+    def test_dets_from_points(self):
+        from ratrack_tpu.eval.run_kf import dets_from_points
+        pts = np.array([[0, 0, 0], [2, 4, 1]], np.float32)
+        dets = dets_from_points([(0.7, 3, pts)])
+        assert len(dets) == 1
+        np.testing.assert_allclose(dets[0].xyz, [1, 2, 0.5])
+        np.testing.assert_allclose(dets[0].lwh, [2, 4, 1])
+        assert dets[0].conf == 0.7
+
+    def test_kf_rescues_id_switches_in_metrics(self):
+        """sAMOTA after KF re-tracking beats raw id-scrambled tracks."""
+        from ratrack_tpu.eval.run_kf import retrack_clip
+        from ratrack_tpu.eval.mot_metrics import integrated_mot
+        rng = np.random.RandomState(1)
+        gt_frames, raw = [], []
+        for t in range(10):
+            a = _pts(t) + np.array([0.3 * t, 0, 0])
+            b = _pts(70 + t) + np.array([25.0, 0.2 * t, 0])
+            gt_frames.append({1: a, 2: b})
+            raw.append([(0.9, int(rng.randint(10000)), a),
+                        (0.8, int(rng.randint(10000)), b)])
+        m_raw = integrated_mot(gt_frames, raw)
+        kf = retrack_clip(raw, min_hits=1, max_age=3, match_dist=3.0)
+        m_kf = integrated_mot(gt_frames, kf)
+        assert m_raw["idsw"] > m_kf["idsw"]
+        assert m_kf["samota"] > m_raw["samota"]

@@ -136,6 +136,54 @@ def build_frame_gt(labels: Dict[int, ObjectLabel], points: np.ndarray,
                    ids_with_points=list(centres))
 
 
+# per-class box-motion thresholds in meters (filter_moving_boxes,
+# track4d_utils.py:617-652)
+_MOTION_THRESHOLDS = {
+    "Pedestrian": 0.06, "human_depiction": 0.06,
+    "Car": 0.15, "truck": 0.15,
+    "Cyclist": 0.10, "rider": 0.10, "bicycle": 0.10,
+    "ride_uncertain": 0.10, "ride_other": 0.10, "motor": 0.10,
+    "moped_scooter": 0.10,
+}
+_MOTION_THRESHOLD_DEFAULT = 0.20
+
+
+def filter_moving_labels_by_motion(labels0: Dict[int, ObjectLabel],
+                                   labels1: Dict[int, ObjectLabel],
+                                   transforms0: Transforms,
+                                   transforms1: Transforms
+                                   ) -> Dict[int, ObjectLabel]:
+    """Motion-threshold moving filter (reference filter_moving_boxes,
+    track4d_utils.py:593-662) — the alternative to the detection-flag
+    filter: an object is moving when its ego-compensated frame-0 box
+    center moves more than a per-class threshold to its frame-1 center.
+
+    Reference quirks preserved: BOTH boxes are parameterized with the
+    frame-0 transforms (`get_bbx_param(.., transforms0, ..)` at :612), and
+    the compensated center is hom(c) @ inv(T_ego.T) (get_bbx_param_ego,
+    :559-578). Objects absent from frame 0 are not classified (not moving).
+    """
+    a = transforms0.t_odom_camera @ transforms0.t_camera_radar
+    b = transforms1.t_odom_camera @ transforms1.t_camera_radar
+    ego = np.linalg.inv(a) @ b
+    inv_ego_t = np.linalg.inv(ego.T)
+
+    out: Dict[int, ObjectLabel] = {}
+    for obj_id, lbl1 in labels1.items():
+        lbl0 = labels0.get(obj_id)
+        if lbl0 is None:
+            continue
+        c0 = transforms0.t_radar_camera @ np.array(
+            [lbl0.x, lbl0.y, lbl0.z, 1.0])
+        c0_comp = (c0 @ inv_ego_t)[:3]
+        c1 = (transforms0.t_radar_camera @ np.array(
+            [lbl1.x, lbl1.y, lbl1.z, 1.0]))[:3]
+        thres = _MOTION_THRESHOLDS.get(lbl1.type, _MOTION_THRESHOLD_DEFAULT)
+        if np.abs(np.linalg.norm(c0_comp - c1)) > thres:
+            out[obj_id] = lbl1
+    return out
+
+
 def rigid_gt_flow(points: np.ndarray, comp_points: np.ndarray,
                   gt1: FrameGT, gt2: FrameGT) -> np.ndarray:
     """GT warped positions per point (get_gt_flow_new,

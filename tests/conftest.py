@@ -18,6 +18,15 @@ import jax  # noqa: E402
 # force CPU explicitly so tests never dispatch over the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: this box has ONE cpu core, and the suite's
+# wall clock is dominated by model-sized XLA compiles (~20-40s each).
+# Caching them makes every run after the first take seconds.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -173,3 +173,53 @@ class TestProjection:
         intr = read_intrinsic(fd, "radar")
         assert intr.shape == (3, 4)
         np.testing.assert_allclose(intr, np.eye(3, 4))
+
+
+class TestMotionThresholdFilter:
+    """filter_moving_labels_by_motion (reference filter_moving_boxes,
+    the motion-threshold alternative to the detection-flag filter)."""
+
+    def test_moving_vs_static_classification(self, tmp_path):
+        from ratrack_tpu.data.fixture import make_vod_fixture
+        from ratrack_tpu.data.vod import (VodLocations, FrameData,
+                                          Transforms,
+                                          parse_tracking_labels)
+        from ratrack_tpu.data.gt import filter_moving_labels_by_motion
+
+        root = str(tmp_path / "vod")
+        # fixture: Car moves 0.3 m/frame (> 0.15 thres), Pedestrian moves
+        # ~0.15 m/frame of clip_motion*0.5 (> 0.06); ego stationary
+        make_vod_fixture(root, range(100, 103), clip_motion=0.3)
+        loc = VodLocations(root)
+        fd0, fd1 = FrameData(loc, "00100"), FrameData(loc, "00101")
+        l0 = parse_tracking_labels(fd0.tracking_labels)
+        l1 = parse_tracking_labels(fd1.tracking_labels)
+        mov = filter_moving_labels_by_motion(l0, l1, Transforms(fd0),
+                                             Transforms(fd1))
+        assert set(mov) == {7, 9}      # both fixture objects move
+
+        # slow world: everything under thresholds → nothing moving
+        root2 = str(tmp_path / "vod_slow")
+        make_vod_fixture(root2, range(100, 103), clip_motion=0.01)
+        loc2 = VodLocations(root2)
+        fd0, fd1 = FrameData(loc2, "00100"), FrameData(loc2, "00101")
+        l0 = parse_tracking_labels(fd0.tracking_labels)
+        l1 = parse_tracking_labels(fd1.tracking_labels)
+        mov = filter_moving_labels_by_motion(l0, l1, Transforms(fd0),
+                                             Transforms(fd1))
+        assert mov == {}
+
+    def test_object_absent_in_prev_frame_skipped(self, tmp_path):
+        from ratrack_tpu.data.fixture import make_vod_fixture
+        from ratrack_tpu.data.vod import (VodLocations, FrameData,
+                                          Transforms,
+                                          parse_tracking_labels)
+        from ratrack_tpu.data.gt import filter_moving_labels_by_motion
+        root = str(tmp_path / "vod")
+        make_vod_fixture(root, range(100, 102), clip_motion=0.5)
+        loc = VodLocations(root)
+        fd0, fd1 = FrameData(loc, "00100"), FrameData(loc, "00101")
+        l1 = parse_tracking_labels(fd1.tracking_labels)
+        mov = filter_moving_labels_by_motion({}, l1, Transforms(fd0),
+                                             Transforms(fd1))
+        assert mov == {}

@@ -48,35 +48,56 @@ class ClsPredictor(nn.Module):
 
 
 class FlowDecoder(nn.Module):
-    """Reference FlowDecoder.forward (model_utils.py:281-305)."""
+    """Reference FlowDecoder.forward (model_utils.py:281-305).
+
+    Split into three stage methods so the pipelined eval path
+    (train/step.py:make_pipelined_eval_step) can batch the heavy
+    per-frame stages over B×T and keep only `gru_apply` in the temporal
+    scan — the GRU carry is the decoder's sole serial dependency.
+    """
     npoint: int
     feat_dim: int = 128
     gru_layers: int = 5
     exact_fps: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, pc1, ft1, pc1_feats, cor_feats, h, mask1=None,
-                 train: bool = True):
-        """Returns (flow (N,3), h' (layers,128), prop (N,128), cls (N,))."""
-        cls = ClsPredictor(dtype=self.dtype, name="cp")(
-            cor_feats, mask=mask1, train=train)
+    def setup(self):
+        self.cp = ClsPredictor(dtype=self.dtype)
+        self.mse = PNHead(self.npoint, self.exact_fps, self.dtype)
+        self.gru = StackedGRU(self.feat_dim, self.gru_layers, self.dtype)
+        self.fp = FlowPredictor(dtype=self.dtype)
 
+    def pre_gru(self, pc1, ft1, pc1_feats, cor_feats, mask1=None,
+                train: bool = True):
+        """Per-frame (no temporal state): (cls (N,), prop (N,128),
+        gfeat_in (128,))."""
+        cls = self.cp(cor_feats, mask=mask1, train=train)
         emb = jnp.concatenate([ft1, pc1_feats, cor_feats], axis=-1)
-        _, prop = PNHead(self.npoint, self.exact_fps, self.dtype,
-                         name="mse")(pc1, emb, mask1, train)
-
+        _, prop = self.mse(pc1, emb, mask1, train)
         # global feature: masked max over valid points
         if mask1 is not None:
             masked = jnp.where(mask1[:, None], prop, -jnp.inf)
         else:
             masked = prop
-        gfeat = jnp.max(masked, axis=0)                        # (128,)
-        gfeat, h_new = StackedGRU(self.feat_dim, self.gru_layers,
-                                  self.dtype, name="gru")(gfeat[None, :],
-                                                          h[:, None, :])
-        h_new = h_new[:, 0, :]
-        gfeat = jnp.broadcast_to(gfeat[0], (prop.shape[0], self.feat_dim))
-        flow = FlowPredictor(dtype=self.dtype, name="fp")(
-            jnp.concatenate([prop, gfeat], axis=-1), mask=mask1, train=train)
+        gfeat_in = jnp.max(masked, axis=0)                     # (128,)
+        return cls, prop, gfeat_in
+
+    def gru_apply(self, gfeat_in, h):
+        """One GRU step: (128,), (layers, 128) → (128,), (layers, 128)."""
+        g, h_new = self.gru(gfeat_in[None, :], h[:, None, :])
+        return g[0], h_new[:, 0, :]
+
+    def post_gru(self, prop, gfeat_out, mask1=None, train: bool = True):
+        """Per-point flow from propagated + GRU-global features."""
+        g = jnp.broadcast_to(gfeat_out, (prop.shape[0], self.feat_dim))
+        return self.fp(jnp.concatenate([prop, g], axis=-1), mask=mask1,
+                       train=train)
+
+    def __call__(self, pc1, ft1, pc1_feats, cor_feats, h, mask1=None,
+                 train: bool = True):
+        """Returns (flow (N,3), h' (layers,128), prop (N,128), cls (N,))."""
+        cls, prop, gfeat_in = self.pre_gru(pc1, ft1, pc1_feats, cor_feats,
+                                           mask1, train)
+        gfeat_out, h_new = self.gru_apply(gfeat_in, h)
+        flow = self.post_gru(prop, gfeat_out, mask1, train)
         return flow, h_new, prop, cls

@@ -66,9 +66,15 @@ class Track4D(nn.Module):
         self.bin_score = self.param("bin_score",
                                     lambda key: jnp.ones((), jnp.float32))
 
-    # ---- backbone: features → cost volume → flow/cls (track4d.py:67-106) --
-    def backbone(self, frame: FrameBatch, h: jnp.ndarray,
-                 train: bool = True):
+    # ---- stage methods -----------------------------------------------------
+    # The per-frame step splits into temporally-independent stages
+    # (frame_stage, output_stage, affinity_stage — batchable over B×T by
+    # the pipelined eval path) and the serial carries (GRU via gru_stage,
+    # ID assignment via tracker.association.assign_ids).
+
+    def frame_stage(self, frame: FrameBatch, train: bool = True):
+        """Everything before the GRU: (cls (N,), prop (N,128),
+        gfeat_in (128,)). Reference track4d.py:67-106 minus the GRU."""
         pc1, pc2 = frame.pc1, frame.pc2
         m1, m2 = frame.mask1, frame.mask2
         _, f1 = self.pn_head(pc1, frame.ft1, m1, train)
@@ -78,8 +84,50 @@ class Track4D(nn.Module):
         f1 = jnp.concatenate([f1, g1], axis=-1)   # (N, 256) local‖global
         f2 = jnp.concatenate([f2, g2], axis=-1)
         cor = self.fc_layer(pc1, pc2, f1, f2, m1, m2, train)
-        flow, h_new, prop, cls = self.fd_layer(pc1, frame.ft1, f1, cor, h,
-                                               m1, train)
+        return self.fd_layer.pre_gru(pc1, frame.ft1, f1, cor, m1, train)
+
+    def gru_stage(self, gfeat_in: jnp.ndarray, h: jnp.ndarray):
+        """One GRU step (the decoder's sole temporal dependency)."""
+        return self.fd_layer.gru_apply(gfeat_in, h)
+
+    def output_stage(self, frame: FrameBatch, cls, prop, gfeat_out,
+                     frame_idx, train: bool = True):
+        """Flow + clustering + descriptors + GT match for one frame
+        (track4d.py:53-57,108-126). No temporal state."""
+        flow = self.fd_layer.post_gru(prop, gfeat_out, frame.mask1, train)
+        warp = frame.pc1 + flow
+        feats = jnp.concatenate(
+            [warp, frame.pc1, flow, frame.ft1, prop], axis=-1)  # (N, 139)
+        feats = feats.astype(jnp.float32)
+
+        mov = (cls > self.mov_thres) & frame.mask1
+        db_in = jnp.concatenate([feats[:, 3:9], feats[:, 10:12]], axis=-1)
+        labels = dbscan(db_in, mov, self.dbscan_eps, self.min_obj_points,
+                        self.dbscan_max_iters)
+        labels = jnp.where(labels < self.k_max, labels, -1)
+
+        desc, curr_valid, sizes, _ = cluster_descriptors(
+            feats, labels, self.k_max)
+        curr_gt = greedy_gt_match(labels, frame.gt_dense,
+                                  frame.gt_label_ids, frame.gt_valid,
+                                  self.k_max, frame_idx)
+        return dict(flow=flow, warp=warp, feats=feats, labels=labels,
+                    desc=desc, curr_valid=curr_valid, sizes=sizes,
+                    curr_gt=curr_gt,
+                    n=jnp.sum(curr_valid.astype(jnp.int32)))
+
+    def affinity_stage(self, desc_prev: jnp.ndarray,
+                       desc_curr: jnp.ndarray) -> jnp.ndarray:
+        """(K_prev, K_curr) affinity on descriptor differences."""
+        diff = desc_curr[None, :, :] - desc_prev[:, None, :]
+        return self.affinity(diff)
+
+    # ---- backbone: features → cost volume → flow/cls (track4d.py:67-106) --
+    def backbone(self, frame: FrameBatch, h: jnp.ndarray,
+                 train: bool = True):
+        cls, prop, gfeat_in = self.frame_stage(frame, train)
+        gfeat_out, h_new = self.gru_stage(gfeat_in, h)
+        flow = self.fd_layer.post_gru(prop, gfeat_out, frame.mask1, train)
         return flow, h_new, cls, prop
 
     # ---- full step: forward + clustering + association ----
@@ -99,50 +147,34 @@ class Track4D(nn.Module):
             frame_idx=jnp.where(ns, 0, state.frame_idx),
         )
 
-        flow, h_new, cls, prop = self.backbone(frame, state.h, train)
-        warp = frame.pc1 + flow
-        feats = jnp.concatenate(
-            [warp, frame.pc1, flow, frame.ft1, prop], axis=-1)  # (N, 139)
-        feats = feats.astype(jnp.float32)
-
-        mov = (cls > self.mov_thres) & frame.mask1
-        db_in = jnp.concatenate([feats[:, 3:9], feats[:, 10:12]], axis=-1)
-        labels = dbscan(db_in, mov, self.dbscan_eps, self.min_obj_points,
-                        self.dbscan_max_iters)
-        labels = jnp.where(labels < self.k_max, labels, -1)
-
-        desc, curr_valid, sizes, _ = cluster_descriptors(
-            feats, labels, self.k_max)
+        cls, prop, gfeat_in = self.frame_stage(frame, train)
+        gfeat_out, h_new = self.gru_stage(gfeat_in, state.h)
+        o = self.output_stage(frame, cls, prop, gfeat_out, state.frame_idx,
+                              train)
         m = jnp.sum(state.valid.astype(jnp.int32))
-        n = jnp.sum(curr_valid.astype(jnp.int32))
-
-        # (K_prev, K_curr) affinity on descriptor differences
-        diff = desc[None, :, :] - state.desc[:, None, :]
-        aff = self.affinity(diff)
-
+        n = o["n"]
+        aff = self.affinity_stage(state.desc, o["desc"])
         res = associate(aff, m, n, state.track_id, state.next_id,
                         jnp.float32(self.sinkhorn_alpha),
                         self.sinkhorn_iters, self.match_conf_thres,
                         sinkhorn_tol=self.sinkhorn_tol)
-        curr_gt = greedy_gt_match(labels, frame.gt_dense,
-                                  frame.gt_label_ids, frame.gt_valid,
-                                  self.k_max, state.frame_idx)
 
         new_state = TrackState(
             h=h_new,
-            desc=jax.lax.stop_gradient(desc),   # main_utils.py:158-161 detach
-            valid=curr_valid,
+            # main_utils.py:158-161 detach
+            desc=jax.lax.stop_gradient(o["desc"]),
+            valid=o["curr_valid"],
             track_id=res.track_id,
-            gt_id=curr_gt,
+            gt_id=o["curr_gt"],
             next_id=res.next_id,
             frame_idx=state.frame_idx + 1,
         )
         outputs = dict(
-            flow=flow, warp=warp, cls=cls, feats=feats, labels=labels,
-            track_id=res.track_id, conf=res.conf, aff=aff,
-            m=m, n=n, sizes=sizes,
+            flow=o["flow"], warp=o["warp"], cls=cls, feats=o["feats"],
+            labels=o["labels"], track_id=res.track_id, conf=res.conf,
+            aff=aff, m=m, n=n, sizes=o["sizes"],
             prev_gt_id=state.gt_id, prev_valid=state.valid,
-            curr_gt_id=curr_gt, curr_valid=curr_valid,
+            curr_gt_id=o["curr_gt"], curr_valid=o["curr_valid"],
         )
         return outputs, new_state
 

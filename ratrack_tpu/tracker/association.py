@@ -126,16 +126,22 @@ class AssocResult(NamedTuple):
     aff: jnp.ndarray         # (K, K) raw affinity matrix (prev × curr)
 
 
-def associate(aff: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray,
-              prev_track_id: jnp.ndarray, next_id: jnp.ndarray,
-              alpha: jnp.ndarray, iters: int,
-              conf_thres: float = 0.01,
-              sinkhorn_tol: float = 0.0) -> AssocResult:
-    """Sinkhorn matching + ID inheritance.
+class MatchStructure(NamedTuple):
+    """Temporal-state-free part of the association (parallelizable over
+    frames): who matches whom and at what confidence."""
+    idx1: jnp.ndarray        # (K,) int32 best prev slot per curr slot
+    matched: jnp.ndarray     # (K,) bool mutual-max match
+    conf: jnp.ndarray        # (K,) float32 affinity at the match
+    col_ok: jnp.ndarray      # (K,) bool curr-slot validity
 
-    Mirrors sinkhorn_module + association_module (track4d.py:135-180):
-    mutual-max on the (m×n) block of exp(Z), new id when unmatched or
-    conf = aff[match, j] < conf_thres, ids assigned in slot order.
+
+def match_structure(aff: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray,
+                    alpha: jnp.ndarray, iters: int,
+                    sinkhorn_tol: float = 0.0) -> MatchStructure:
+    """Sinkhorn + mutual-max matching (sinkhorn_module, track4d.py:135-180).
+
+    Depends only on the affinity matrix and slot counts — NOT on track
+    identity — so the pipelined eval path computes it batched over B×T.
     """
     k = aff.shape[0]
     z = log_optimal_transport_masked(aff, m, n, alpha, iters,
@@ -152,14 +158,40 @@ def associate(aff: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray,
     # padded -inf rows/cols can't win argmax on valid slots.
     matched = mutual1 & col_ok & (jnp.take(row_ok, idx1))
     conf = aff[idx1, jnp.arange(k)]
-    is_new = col_ok & (~matched | (conf < conf_thres))
-    inherit = col_ok & matched & (conf >= conf_thres)
+    return MatchStructure(idx1, matched, conf, col_ok)
 
+
+def assign_ids(ms: MatchStructure, prev_track_id: jnp.ndarray,
+               next_id: jnp.ndarray, aff: jnp.ndarray,
+               conf_thres: float = 0.01) -> AssocResult:
+    """ID inheritance from a match structure (association_module,
+    track4d.py:143-158): new id when unmatched or conf < conf_thres,
+    ids assigned in slot order. The only sequential piece."""
+    is_new = ms.col_ok & (~ms.matched | (ms.conf < conf_thres))
+    inherit = ms.col_ok & ms.matched & (ms.conf >= conf_thres)
+
+    k = ms.idx1.shape[0]
     new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     track_id = jnp.where(
-        inherit, jnp.take(prev_track_id, idx1),
+        inherit, jnp.take(prev_track_id, ms.idx1),
         jnp.where(is_new, next_id + new_rank, -1)).astype(jnp.int32)
-    conf_out = jnp.where(inherit, conf, 0.0)
-    matched_prev = jnp.where(inherit, idx1, -1).astype(jnp.int32)
+    conf_out = jnp.where(inherit, ms.conf, 0.0)
+    matched_prev = jnp.where(inherit, ms.idx1, -1).astype(jnp.int32)
+    del k
     return AssocResult(track_id, conf_out, matched_prev,
                        next_id + jnp.sum(is_new).astype(jnp.int32), aff)
+
+
+def associate(aff: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray,
+              prev_track_id: jnp.ndarray, next_id: jnp.ndarray,
+              alpha: jnp.ndarray, iters: int,
+              conf_thres: float = 0.01,
+              sinkhorn_tol: float = 0.0) -> AssocResult:
+    """Sinkhorn matching + ID inheritance.
+
+    Mirrors sinkhorn_module + association_module (track4d.py:135-180):
+    mutual-max on the (m×n) block of exp(Z), new id when unmatched or
+    conf = aff[match, j] < conf_thres, ids assigned in slot order.
+    """
+    ms = match_structure(aff, m, n, alpha, iters, sinkhorn_tol)
+    return assign_ids(ms, prev_track_id, next_id, aff, conf_thres)

@@ -163,6 +163,154 @@ def make_eval_step(model):
     return eval_step
 
 
+def make_pipelined_eval_step(model):
+    """Phase-parallel eval: batch everything that isn't temporally serial.
+
+    The per-frame step's only true serial dependencies are the 5-layer GRU
+    carry and track-ID inheritance — a few thousand FLOPs each. Everything
+    else (PointNet++ heads, cost volume, flow MLP, DBSCAN, descriptors,
+    affinity MLP, Sinkhorn matching) depends only on the frame pair, so
+    this step runs them batched over the full [B, T] block and keeps two
+    tiny lax.scans for the carries:
+
+      A. frame_stage over B×T            (heavy: 3 PNHeads + cost volume)
+      B. scan: GRU carry over T          (tiny)
+      C. output_stage + affinity + Sinkhorn match over B×T
+      D. scan: track-ID inheritance over T  (tiny)
+
+    In eval mode (BatchNorm running stats) each stage is a pure function,
+    so results match the sequential `make_scan_eval_step` exactly (bit-
+    exact on CPU in tests). Sequence resets (new_seq) reproduce the
+    sequential semantics: the GRU carry zeroes, and the affinity's
+    previous-frame descriptors swap to the empty init state.
+
+    Measured on one v5e chip at the 512-pt workload this is SLOWER than
+    the sequential scan (224 vs 347 fps at B=8, 281 vs 310 at B=1): inside
+    lax.scan there is no per-frame dispatch cost to amortize, and B×T
+    batching blows the working set (e.g. DBSCAN's (B·T, N, N) adjacency)
+    out of VMEM into HBM round-trips. Kept as the structural
+    decomposition of the temporal dependency (useful for future sparse /
+    multi-chip layouts) with the sequential scan remaining the production
+    path.
+
+    Returns step(variables, track_states[B], frames[B, T]) →
+    (track_states', outputs dict with [B, T]-leading arrays).
+    """
+    from ..models.track4d import Track4D
+    from ..tracker.association import match_structure, assign_ids
+
+    def _apply(variables, method, *args, **kw):
+        return model.apply(variables, *args, method=method, **kw)
+
+    @jax.jit
+    def step(variables, tstate: TrackState, frames_bt):
+        ns_bt = frames_bt.new_seq                              # (B, T)
+        b, t = ns_bt.shape
+        ns_tb = jnp.swapaxes(ns_bt, 0, 1)
+
+        # frame_idx per (B, T): resets to 0 at new_seq, else increments
+        def fi_body(carry, ns):
+            fi = jnp.where(ns, 0, carry)
+            return fi + 1, fi
+        fi_final, fi_tb = jax.lax.scan(
+            fi_body, jnp.broadcast_to(tstate.frame_idx, (b,)), ns_tb)
+        fi_bt = jnp.swapaxes(fi_tb, 0, 1)
+
+        # --- A: per-frame features, batched over B and T ---
+        def fs(frame):
+            return _apply(variables, Track4D.frame_stage, frame,
+                          train=False)
+        cls, prop, gin = jax.vmap(jax.vmap(fs))(frames_bt)
+
+        # --- B: GRU scan over T (carry: h [B, L, H]) ---
+        def gru_body(h, x):
+            gin_t, ns_t = x
+            h = jnp.where(ns_t[:, None, None], 0.0, h)
+            gout, h_new = jax.vmap(
+                lambda g, hh: model.apply(variables, g, hh,
+                                          method=Track4D.gru_stage))(
+                gin_t, h)
+            return h_new, gout
+        h_final, gout_tb = jax.lax.scan(
+            gru_body, tstate.h, (jnp.swapaxes(gin, 0, 1), ns_tb))
+        gout = jnp.swapaxes(gout_tb, 0, 1)                     # (B, T, H)
+
+        # --- C: per-frame outputs + matching, batched over B and T ---
+        def os_(frame, c, p, g, fi):
+            return model.apply(variables, frame, c, p, g, fi,
+                               train=False, method=Track4D.output_stage)
+        outs = jax.vmap(jax.vmap(os_))(frames_bt, cls, prop, gout, fi_bt)
+
+        desc, valid = outs["desc"], outs["curr_valid"]
+        k = desc.shape[2]
+        # previous-frame descriptors: block-entry state at t=0, shifted
+        # desc after; zeroed at sequence starts
+        prev_desc = jnp.concatenate(
+            [tstate.desc[:, None], desc[:, :-1]], axis=1)
+        prev_valid = jnp.concatenate(
+            [tstate.valid[:, None], valid[:, :-1]], axis=1)
+        prev_gt = jnp.concatenate(
+            [tstate.gt_id[:, None], outs["curr_gt"][:, :-1]], axis=1)
+        prev_desc = jnp.where(ns_bt[..., None, None], 0.0, prev_desc)
+        prev_valid = jnp.where(ns_bt[..., None], False, prev_valid)
+        prev_gt = jnp.where(ns_bt[..., None], -1, prev_gt)
+
+        aff = jax.vmap(jax.vmap(
+            lambda dp, dc: _apply(variables, Track4D.affinity_stage,
+                                  dp, dc)))(prev_desc, desc)
+        m = jnp.sum(prev_valid.astype(jnp.int32), axis=-1)     # (B, T)
+        n = outs["n"]
+        ms = jax.vmap(jax.vmap(
+            lambda a, mm, nn: match_structure(
+                a, mm, nn, jnp.float32(model.sinkhorn_alpha),
+                model.sinkhorn_iters, model.sinkhorn_tol)))(aff, m, n)
+
+        # --- D: ID-inheritance scan over T ---
+        def id_body(carry, x):
+            tid_prev, next_id = carry
+            ms_t, aff_t, ns_t = x
+            tid_prev = jnp.where(ns_t[:, None], -1, tid_prev)
+            res = jax.vmap(
+                lambda s, pt, ni, a: assign_ids(
+                    s, pt, ni, a, model.match_conf_thres))(
+                ms_t, tid_prev, next_id, aff_t)
+            return (res.track_id, res.next_id), (res.track_id, res.conf)
+        ms_tb = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1), ms)
+        aff_tb = jnp.swapaxes(aff, 0, 1)
+        (tid_last, next_id_final), (tid_tb, conf_tb) = jax.lax.scan(
+            id_body, (tstate.track_id,
+                      jnp.broadcast_to(tstate.next_id, (b,))),
+            (ms_tb, aff_tb, ns_tb))
+        track_id = jnp.swapaxes(tid_tb, 0, 1)                  # (B, T, K)
+        conf = jnp.swapaxes(conf_tb, 0, 1)
+
+        new_state = TrackState(
+            h=h_final,
+            desc=desc[:, -1],
+            valid=valid[:, -1],
+            track_id=tid_last,
+            gt_id=outs["curr_gt"][:, -1],
+            next_id=next_id_final,
+            frame_idx=fi_final,
+        )
+        del k
+        # NOTE: feats (B,T,N,139) is deliberately NOT returned — at the
+        # bench workload it alone is 0.5 GB of HBM writes and erases the
+        # pipelining win; it stays fused inside phase C.
+        outputs = dict(
+            flow=outs["flow"], warp=outs["warp"], cls=cls,
+            labels=outs["labels"],
+            track_id=track_id, conf=conf, aff=aff, m=m, n=n,
+            sizes=outs["sizes"], prev_gt_id=prev_gt,
+            prev_valid=prev_valid, curr_gt_id=outs["curr_gt"],
+            curr_valid=valid,
+        )
+        return new_state, outputs
+
+    return step
+
+
 def make_scan_eval_step(model):
     """lax.scan the eval step over a [T, ...] stack of frames per clip.
 

@@ -229,3 +229,39 @@ def test_eval_step_runs_and_is_deterministic():
                                   np.asarray(out2["labels"]))
     np.testing.assert_allclose(np.asarray(out1["flow"]),
                                np.asarray(out2["flow"]), atol=0)
+
+
+@pytest.mark.slow
+def test_pipelined_eval_matches_sequential_scan():
+    """Phase-parallel eval == sequential scan, bit-exact in eval mode."""
+    from ratrack_tpu.train.step import (make_scan_eval_step,
+                                        make_pipelined_eval_step)
+    from ratrack_tpu.data.synthetic import stack_frames
+
+    b, t = 2, 5
+    model = tiny_model()
+    clips_ = [clip(s, t) for s in range(b)]
+    stacked = [stack_frames(c) for c in clips_]
+    frames = FrameBatch(*[jnp.asarray(
+        np.stack([np.asarray(getattr(s, f)) for s in stacked]))
+        for f in FrameBatch._fields])
+    frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
+    state0 = init_state(K)
+    variables = jax.jit(
+        lambda k: model.init(k, frame0, state0, train=False))(
+        jax.random.PRNGKey(0))
+    tstates = jax.vmap(lambda _: init_state(K))(jnp.arange(b))
+
+    ts_seq, out_seq = make_scan_eval_step(model)(variables, tstates, frames)
+    ts_pipe, out_pipe = make_pipelined_eval_step(model)(variables, tstates,
+                                                        frames)
+    for key in ["cls", "warp"]:
+        np.testing.assert_array_equal(np.asarray(out_seq[key]),
+                                      np.asarray(out_pipe[key]))
+    for key in ["labels", "track_id", "conf", "n"]:
+        np.testing.assert_array_equal(np.asarray(out_seq[key]),
+                                      np.asarray(out_pipe[key]))
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_array_equal(np.asarray(a),
+                                                    np.asarray(b_)),
+        ts_seq, ts_pipe)

@@ -62,6 +62,8 @@ class Config:
     dp: int = 1                    # data-parallel mesh size (clips axis)
     scan_frames: int = 0           # >0: lax.scan over this many frames/step
     prefetch_depth: int = 4        # host-side block prefetch queue depth
+    synth_clips: int = 4           # synthetic dataset: number of clips
+    synth_frames: int = 6          # synthetic dataset: frames per clip
     profile_dir: str = ""          # non-empty: dump a jax profiler trace here
     vis_dir: str = ""              # non-empty: eval renders BEV PNGs here
 

@@ -38,27 +38,35 @@ class Tee:
         self.f.flush()
 
 
-_SYNTH_CLIPS = ["synth_0", "synth_1", "synth_2", "synth_3"]
-_SYNTH_FRAMES = 6
-
-
 class _SynthStream:
-    """Synthetic-dataset stand-in with the VodTrackStream interface."""
+    """Synthetic-dataset stand-in with the VodTrackStream interface.
 
-    def __init__(self, cfg, clips=None):
+    cfg.synth_clips clips of cfg.synth_frames frames; train clips use
+    seeds [0, n) and the val split uses disjoint seeds [n, n + n//2).
+    """
+
+    def __init__(self, cfg, clips=None, split="train"):
         self.cfg = cfg
-        self.clips = clips if clips is not None else _SYNTH_CLIPS[:2]
+        if clips is not None:
+            self.clips = clips
+        elif split == "train":
+            self.clips = [f"synth_{i}" for i in range(cfg.synth_clips)]
+        else:
+            self.clips = [f"synth_{i}" for i in
+                          range(cfg.synth_clips,
+                                cfg.synth_clips + max(1,
+                                                      cfg.synth_clips // 2))]
         self.skipped = []
 
     def __len__(self):
-        return len(self.clips) * _SYNTH_FRAMES
+        return len(self.clips) * self.cfg.synth_frames
 
     def __iter__(self):
         from .data.synthetic import synthetic_clip
         for clip in self.clips:
             ci = int(clip.split("_")[1])
             for rec in synthetic_clip(
-                    ci, _SYNTH_FRAMES, n_max=self.cfg.n_max,
+                    ci, self.cfg.synth_frames, n_max=self.cfg.n_max,
                     g_max=self.cfg.g_max,
                     n_static=min(60, self.cfg.n_max - 64)):
                 yield clip, rec
@@ -69,7 +77,7 @@ def _build_stream(cfg, split):
         from .data.pipeline import VodTrackStream
         return VodTrackStream(cfg, split=split)
     if cfg.dataset == "synthetic":
-        return _SynthStream(cfg)
+        return _SynthStream(cfg, split=split)
     raise ValueError(f"dataset not supported: {cfg.dataset}")
 
 
@@ -82,8 +90,9 @@ def _stream_factory(cfg, split):
         return (lambda clips: VodTrackStream(cfg, split=split, clips=clips),
                 list(base.clips), lengths)
     if cfg.dataset == "synthetic":
+        base = _SynthStream(cfg, split=split)
         return (lambda clips: _SynthStream(cfg, clips=clips),
-                list(_SYNTH_CLIPS), [_SYNTH_FRAMES] * len(_SYNTH_CLIPS))
+                list(base.clips), [cfg.synth_frames] * len(base.clips))
     raise ValueError(f"dataset not supported: {cfg.dataset}")
 
 

@@ -44,6 +44,59 @@ def gt_point_sets(stream: VodTrackStream, frame_number: int) -> GTFrame:
     return {int(obj_id): pc[idx] for obj_id, idx in gt.objs.items()}
 
 
+def gt_point_sets_from_record(rec) -> GTFrame:
+    """GT objects of a FrameBatch record → {label id: (M,3) points}.
+
+    Dataset-agnostic counterpart of `gt_point_sets`: uses the record's own
+    dense GT slots over the padded cloud, so any stream (synthetic
+    included) can be MOT-scored against its exported results.
+    """
+    pc1 = np.asarray(rec.pc1)
+    dense = np.asarray(rec.gt_dense)
+    ids = np.asarray(rec.gt_label_ids)
+    valid = np.asarray(rec.gt_valid)
+    mask = np.asarray(rec.mask1)
+    out: GTFrame = {}
+    for slot in range(ids.shape[0]):
+        if not valid[slot]:
+            continue
+        pts = pc1[(dense == slot) & mask]
+        if pts.shape[0]:
+            out[int(ids[slot])] = pts
+    return out
+
+
+def evaluate_results_stream(stream, results_dir: str,
+                            iou_thres: float = 0.25) -> Dict[str, float]:
+    """MOT metrics for any (clip, record) stream against a results tree."""
+    gt_frames: List[GTFrame] = []
+    pred_frames: List[PredFrame] = []
+    per_clip: Dict[str, Dict[str, float]] = {}
+    cur, g, p = None, [], []
+
+    def flush(clip):
+        if g:
+            per_clip[clip] = integrated_mot(g, p, iou_thres)
+            gt_frames.extend(g)
+            pred_frames.extend(p)
+
+    for clip, rec in stream:
+        if clip != cur:
+            flush(cur)
+            g, p = [], []
+            cur = clip
+        path = os.path.join(results_dir, clip,
+                            f"{int(rec.frame_number):05d}.txt")
+        if not os.path.exists(path):
+            continue
+        g.append(gt_point_sets_from_record(rec))
+        p.append(parse_frame_results(path))
+    flush(cur)
+    overall = integrated_mot(gt_frames, pred_frames, iou_thres)
+    overall["per_clip"] = per_clip
+    return overall
+
+
 def collect_clip(stream: VodTrackStream, results_dir: str, clip: str):
     """Frame-aligned (gt_frames, pred_frames) for one clip.
 

@@ -395,14 +395,18 @@ def _run(cfg, log, models_dir, exp_dir):
         else:
             run_epoch(cfg, model, ts, step_fns, stream, "eval", 10 ** 6,
                       log, results_dir=cfg.results_dir)
+        # offline MOT scoring over the exported results — the step the
+        # reference leaves to unreleased scripts (README.md:174-176)
+        from .eval.run import (evaluate_results, evaluate_results_stream,
+                               format_table)
         if cfg.dataset == "vod":
-            # offline MOT scoring over the exported results — the step the
-            # reference leaves to unreleased scripts (README.md:174-176)
-            from .eval.run import evaluate_results, format_table
             m = evaluate_results(cfg.results_dir, cfg.dataset_path,
                                  split="val",
                                  min_obj_points=cfg.min_obj_points)
-            log.print(format_table(m))
+        else:
+            m = evaluate_results_stream(_build_stream(cfg, "val"),
+                                        cfg.results_dir)
+        log.print(format_table(m))
         log.print("FINISH")
         return
 

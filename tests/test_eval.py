@@ -284,3 +284,39 @@ class TestKalmanRetrack:
         m_kf = integrated_mot(gt_frames, kf)
         assert m_raw["idsw"] > m_kf["idsw"]
         assert m_kf["samota"] > m_raw["samota"]
+
+
+class TestStreamScoring:
+    """Dataset-agnostic MOT scoring from FrameBatch records."""
+
+    def test_gt_point_sets_from_record(self):
+        from ratrack_tpu.data.synthetic import synthetic_clip
+        from ratrack_tpu.eval.run import gt_point_sets_from_record
+        rec = synthetic_clip(0, 1, n_max=96, g_max=8, n_static=40,
+                             n_objects=2, pts_per_obj=8)[0]
+        gts = gt_point_sets_from_record(rec)
+        assert set(gts) == {100, 101}
+        assert all(p.shape == (8, 3) for p in gts.values())
+
+    def test_evaluate_results_stream_perfect(self, tmp_path):
+        from ratrack_tpu.data.synthetic import synthetic_clip
+        from ratrack_tpu.eval.run import (gt_point_sets_from_record,
+                                          evaluate_results_stream)
+        from ratrack_tpu.eval.export import write_frame_results
+        recs = synthetic_clip(1, 4, n_max=96, g_max=8, n_static=40,
+                              n_objects=2, pts_per_obj=8)
+        results = str(tmp_path / "res")
+        for rec in recs:
+            lines = []
+            for oid, pts in gt_point_sets_from_record(rec).items():
+                parts = ["NA", "1", "-1", "-1", "0.9", str(oid)]
+                for p in pts:
+                    parts.extend(str(float(v)) for v in p)
+                lines.append(" ".join(parts))
+            write_frame_results(results, "synth_1",
+                                int(rec.frame_number),
+                                "\n".join(lines) + "\n")
+        m = evaluate_results_stream(
+            iter([("synth_1", r) for r in recs]), results)
+        assert m["samota"] == pytest.approx(1.0, abs=1e-6)
+        assert m["idsw"] == 0

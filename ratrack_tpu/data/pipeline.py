@@ -111,12 +111,30 @@ class VodTrackStream:
         mov = filter_moving_labels(labels, fd.detection_labels)
         return fd, tr, mov
 
-    def record(self, clip: str, frame_number: int,
-               new_seq: bool) -> FrameBatch:
-        """Build one FrameBatch for the pair (frame_number+1, frame_number)."""
+    def _frame_bundle(self, frame_number: int):
+        """(fd, tr, mov, gt) for one frame — the per-frame host work."""
+        fd, tr, mov = self._load_frame(frame_number)
+        gt = build_frame_gt(mov, fd.radar[:, :3], tr,
+                            self.cfg.min_obj_points)
+        return fd, tr, mov, gt
+
+    def record(self, clip: str, frame_number: int, new_seq: bool,
+               bundle2=None) -> FrameBatch:
+        """Build one FrameBatch for the pair (frame_number+1, frame_number).
+
+        `bundle2`: optional cached `_frame_bundle(frame_number)` — each
+        record's pc1 side is the NEXT record's pc2 side, so the iterator
+        threads bundles forward and halves file decode + GT (OBB) work.
+        Use `record_with_bundle` to also receive this record's pc1 bundle.
+        """
+        return self.record_with_bundle(clip, frame_number, new_seq,
+                                       bundle2)[0]
+
+    def record_with_bundle(self, clip: str, frame_number: int,
+                           new_seq: bool, bundle2=None):
         cfg = self.cfg
-        fd1, tr1, mov1 = self._load_frame(frame_number + 1)  # "pc1" = t+1
-        fd2, tr2, mov2 = self._load_frame(frame_number)      # "pc2" = t
+        fd1, tr1, mov1, gt1 = bundle1 = self._frame_bundle(frame_number + 1)
+        fd2, tr2, mov2, gt2 = bundle2 or self._frame_bundle(frame_number)
 
         radar1, radar2 = fd1.radar, fd2.radar
         pc1_raw, ft1_raw = radar1[:, :3], radar1[:, 3:5]  # [RCS, v_r]
@@ -124,9 +142,6 @@ class VodTrackStream:
 
         ego = ego_motion_radar(tr1, tr2)
         pc1_comp_raw = compensate_ego(pc1_raw, ego)
-
-        gt1 = build_frame_gt(mov1, pc1_raw, tr1, cfg.min_obj_points)
-        gt2 = build_frame_gt(mov2, pc2_raw, tr2, cfg.min_obj_points)
         gt_flow_raw = rigid_gt_flow(pc1_raw, pc1_comp_raw, gt1, gt2)
 
         pc1, mask1, keep1 = _pad_or_subsample(pc1_raw, cfg.n_max,
@@ -159,24 +174,30 @@ class VodTrackStream:
         gt_valid = np.zeros(cfg.g_max, bool)
         gt_valid[:len(ids)] = True
 
-        return FrameBatch(
+        rec = FrameBatch(
             pc1=pc1, pc2=pc2, ft1=ft1, ft2=ft2, mask1=mask1, mask2=mask2,
             pc1_comp=pc1_comp, gt_cls=gt_cls, gt_flow=gt_flow,
             gt_dense=gt_dense, gt_label_ids=gt_label_ids, gt_valid=gt_valid,
             new_seq=np.asarray(new_seq),
             frame_number=np.asarray(frame_number + 1, np.int32))
+        return rec, bundle1
 
     def __iter__(self) -> Iterator[Tuple[str, FrameBatch]]:
         """Yields (clip_name, FrameBatch); bad frames are skipped + logged."""
         for clip in self.clips:
             frames = self.clip_frames(clip)
             new_seq = True
+            prev = None       # (frame_number, bundle) threaded forward
             for f in frames[:-1]:
+                bundle2 = prev[1] if prev and prev[0] == f else None
                 try:
-                    rec = self.record(clip, f, new_seq)
+                    rec, bundle1 = self.record_with_bundle(clip, f, new_seq,
+                                                           bundle2)
                 except (FileNotFoundError, ValueError, IndexError) as e:
                     self.skipped.append((clip, f, repr(e)))
+                    prev = None
                     continue
+                prev = (f + 1, bundle1)
                 new_seq = False
                 yield clip, rec
 

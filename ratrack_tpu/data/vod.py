@@ -232,7 +232,7 @@ def ego_motion_radar(tr0: Transforms, tr1: Transforms) -> np.ndarray:
 
 def compensate_ego(points: np.ndarray, ego_motion: np.ndarray) -> np.ndarray:
     """Ego-compensated positions (track_vod_3d.py:114-115):
-    hom(p) @ inv(T.T), keeping xyz."""
-    hom = np.concatenate(
-        [points, np.ones((points.shape[0], 1), points.dtype)], axis=1)
-    return (hom @ np.linalg.inv(ego_motion.T))[:, :3]
+    hom(p) @ inv(T.T), keeping xyz. Routed through the native C++ path
+    when available (single implementation; NumPy fallback lives there)."""
+    from .native import compensate_ego as native_comp
+    return native_comp(points, ego_motion)

@@ -19,13 +19,31 @@ predictions ((conf, track_id, (M,3) points)) — exactly what
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Sequence, Tuple
 
 import numpy as np
 
 Pred = Tuple[float, int, np.ndarray]          # (conf, track_id, points)
 GTFrame = Dict[int, np.ndarray]               # gt id → points
 PredFrame = List[Pred]
+
+
+def namespace_ids(gt_frames: Sequence[GTFrame],
+                  pred_frames: Sequence[PredFrame], clip_idx: int):
+    """Offset GT and track ids into a per-clip namespace.
+
+    Required before concatenating clips into one CLEAR-MOT pass: GT ids
+    and tracker ids are only unique within a sequence (synthetic clips all
+    use ids 100+, KITTI-style tracking ids restart per sequence, and each
+    batched-eval stream allocates track ids from its own counter). Without
+    namespacing, id reuse across clip boundaries manufactures ID switches
+    and merges trajectories of physically distinct objects in MT/ML.
+    """
+    off = (clip_idx + 1) * 10 ** 7
+    g2 = [{gid + off: pts for gid, pts in f.items()} for f in gt_frames]
+    p2 = [[(c, tid + off if tid >= 0 else tid - off, pts)
+           for c, tid, pts in f] for f in pred_frames]
+    return g2, p2
 
 
 def point_set_iou(a: np.ndarray, b: np.ndarray, tol: float = 1e-4) -> float:
@@ -38,50 +56,63 @@ def point_set_iou(a: np.ndarray, b: np.ndarray, tol: float = 1e-4) -> float:
     return common / union if union else 0.0
 
 
-def _match_frame(gts: GTFrame, preds: PredFrame,
-                 iou_thres: float) -> List[Tuple[int, int, float]]:
-    """Greedy best-IoU matching → [(gt_id, pred_idx, iou)]."""
-    pairs = []
-    for g, gpts in gts.items():
-        for i, (_, _, ppts) in enumerate(preds):
-            iou = point_set_iou(gpts, ppts)
-            if iou >= iou_thres:
-                pairs.append((iou, g, i))
-    pairs.sort(reverse=True)
-    used_g, used_p, out = set(), set(), []
-    for iou, g, i in pairs:
-        if g in used_g or i in used_p:
-            continue
-        used_g.add(g)
-        used_p.add(i)
-        out.append((g, i, iou))
-    return out
+class _FrameCache(NamedTuple):
+    """Per-frame match candidates, computed once per evaluation.
+
+    The O(|gt|·|pred|·M·N) point-set IoUs dominate MOT scoring; caching
+    them lets the recall sweep re-run only the cheap greedy matching."""
+    pairs: List[Tuple[float, int, int]]   # (iou, gt_id, pred_idx) desc
+    confs: List[float]                    # per original pred index
+    tids: List[int]
+    gt_ids: List[int]
 
 
-def clear_mot(gt_frames: Sequence[GTFrame], pred_frames: Sequence[PredFrame],
-              iou_thres: float = 0.25,
-              conf_thres: float = -np.inf) -> Dict[str, float]:
-    """CLEAR-MOT over a sequence (predictions below conf_thres dropped)."""
-    assert len(gt_frames) == len(pred_frames)
+def _build_cache(gt_frames: Sequence[GTFrame],
+                 pred_frames: Sequence[PredFrame],
+                 iou_thres: float) -> List[_FrameCache]:
+    caches = []
+    for gts, preds in zip(gt_frames, pred_frames):
+        pairs = []
+        for g, gpts in gts.items():
+            for i, (_, _, ppts) in enumerate(preds):
+                iou = point_set_iou(gpts, ppts)
+                if iou >= iou_thres:
+                    pairs.append((iou, g, i))
+        pairs.sort(reverse=True)
+        caches.append(_FrameCache(pairs, [p[0] for p in preds],
+                                  [p[1] for p in preds], list(gts)))
+    return caches
+
+
+def _clear_mot_cached(caches: Sequence[_FrameCache],
+                      conf_thres: float = -np.inf) -> Dict[str, float]:
     tp = fp = fn = idsw = 0
     iou_sum = 0.0
     last_match: Dict[int, int] = {}            # gt id → last matched track
     gt_hits: Dict[int, int] = defaultdict(int)
     gt_total: Dict[int, int] = defaultdict(int)
     n_gt = 0
-    for gts, preds_all in zip(gt_frames, pred_frames):
-        preds = [p for p in preds_all if p[0] >= conf_thres]
-        n_gt += len(gts)
-        for g in gts:
+    for c in caches:
+        keep = [conf >= conf_thres for conf in c.confs]
+        n_kept = sum(keep)
+        n_gt += len(c.gt_ids)
+        for g in c.gt_ids:
             gt_total[g] += 1
-        matches = _match_frame(gts, preds, iou_thres)
+        used_g, used_p = set(), set()
+        matches = []
+        for iou, g, i in c.pairs:
+            if not keep[i] or g in used_g or i in used_p:
+                continue
+            used_g.add(g)
+            used_p.add(i)
+            matches.append((g, i, iou))
         tp += len(matches)
-        fp += len(preds) - len(matches)
-        fn += len(gts) - len(matches)
+        fp += n_kept - len(matches)
+        fn += len(c.gt_ids) - len(matches)
         for g, i, iou in matches:
             iou_sum += iou
             gt_hits[g] += 1
-            tid = preds[i][1]
+            tid = c.tids[i]
             if g in last_match and last_match[g] != tid:
                 idsw += 1
             last_match[g] = tid
@@ -99,26 +130,46 @@ def clear_mot(gt_frames: Sequence[GTFrame], pred_frames: Sequence[PredFrame],
             "precision": precision, "n_gt": n_gt}
 
 
+def clear_mot(gt_frames: Sequence[GTFrame], pred_frames: Sequence[PredFrame],
+              iou_thres: float = 0.25,
+              conf_thres: float = -np.inf) -> Dict[str, float]:
+    """CLEAR-MOT over a sequence (predictions below conf_thres dropped)."""
+    assert len(gt_frames) == len(pred_frames)
+    return _clear_mot_cached(_build_cache(gt_frames, pred_frames,
+                                          iou_thres), conf_thres)
+
+
 def integrated_mot(gt_frames: Sequence[GTFrame],
                    pred_frames: Sequence[PredFrame],
                    iou_thres: float = 0.25,
-                   n_recall: int = 40) -> Dict[str, float]:
+                   n_recall: int = 40,
+                   max_thresholds: int = 256) -> Dict[str, float]:
     """AMOTA / AMOTP / sAMOTA by sweeping recall (AB3DMOT protocol).
 
     For each target recall r in {1/n, …, 1}, pick the confidence threshold
     whose operating point reaches at least r, evaluate MOTA/MOTP there, and
     average. sAMOTA uses the scale-adjusted
     sMOTA_r = max(0, 1 − (FP+FN+IDSW − (1−r)·n_gt) / (r·n_gt)).
+
+    Point-set IoUs are computed once; the sweep re-runs only greedy
+    matching. Raw sigmoid confidences are nearly all distinct, so the
+    operating points are capped at `max_thresholds` rank-uniform samples
+    of the sorted confidence list (covering the full recall range).
     """
+    caches = _build_cache(gt_frames, pred_frames, iou_thres)
     confs = sorted({p[0] for frame in pred_frames for p in frame},
                    reverse=True)
     if not confs:
         return {"samota": 0.0, "amota": 0.0, "amotp": 0.0,
-                **clear_mot(gt_frames, pred_frames, iou_thres)}
+                **_clear_mot_cached(caches)}
+    if len(confs) > max_thresholds:
+        pick = np.unique(np.linspace(0, len(confs) - 1,
+                                     max_thresholds).astype(int))
+        confs = [confs[i] for i in pick]
 
     ops = []
     for c in confs:
-        ops.append((c, clear_mot(gt_frames, pred_frames, iou_thres, c)))
+        ops.append((c, _clear_mot_cached(caches, c)))
 
     amota = amotp = samota = 0.0
     targets = [(i + 1) / n_recall for i in range(n_recall)]
@@ -136,6 +187,6 @@ def integrated_mot(gt_frames: Sequence[GTFrame],
         smota = 1.0 - (best["fp"] + best["fn"] + best["idsw"]
                        - (1.0 - r) * n_gt) / max(r * n_gt, 1e-9)
         samota += float(np.clip(smota, 0.0, 1.0))
-    base = clear_mot(gt_frames, pred_frames, iou_thres)
+    base = _clear_mot_cached(caches)
     return {"samota": samota / n_recall, "amota": amota / n_recall,
             "amotp": amotp / n_recall, **base}

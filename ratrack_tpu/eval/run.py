@@ -28,7 +28,8 @@ from ..data.pipeline import (VodTrackStream, TRAIN_CLIPS, VAL_CLIPS,
                              TEST_CLIPS)
 from ..data.gt import build_frame_gt
 from .export import parse_frame_results
-from .mot_metrics import integrated_mot, GTFrame, PredFrame
+from .mot_metrics import (integrated_mot, namespace_ids,
+                          GTFrame, PredFrame)
 
 
 def gt_point_sets(stream: VodTrackStream, frame_number: int) -> GTFrame:
@@ -73,12 +74,15 @@ def evaluate_results_stream(stream, results_dir: str,
     pred_frames: List[PredFrame] = []
     per_clip: Dict[str, Dict[str, float]] = {}
     cur, g, p = None, [], []
+    clip_idx = [0]
 
     def flush(clip):
         if g:
             per_clip[clip] = integrated_mot(g, p, iou_thres)
-            gt_frames.extend(g)
-            pred_frames.extend(p)
+            g2, p2 = namespace_ids(g, p, clip_idx[0])
+            gt_frames.extend(g2)
+            pred_frames.extend(p2)
+        clip_idx[0] += 1
 
     for clip, rec in stream:
         if clip != cur:
@@ -132,10 +136,12 @@ def evaluate_results(results_dir: str, dataset_path: str, split: str = "val",
     gt_frames: List[GTFrame] = []
     pred_frames: List[PredFrame] = []
     per_clip = {}
-    for clip in stream.clips:
+    for ci, clip in enumerate(stream.clips):
         g, p = collect_clip(stream, results_dir, clip)
         if g:
             per_clip[clip] = integrated_mot(g, p, iou_thres)
+        # per-clip id namespaces: GT/track ids are only unique per sequence
+        g, p = namespace_ids(g, p, ci)
         gt_frames.extend(g)
         pred_frames.extend(p)
     overall = integrated_mot(gt_frames, pred_frames, iou_thres)

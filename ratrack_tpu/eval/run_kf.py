@@ -21,7 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -29,19 +29,24 @@ from ..config import Config
 from ..data.pipeline import VodTrackStream
 from .export import parse_frame_results
 from .kalman import BoxDet, KalmanTracker
-from .mot_metrics import integrated_mot, GTFrame, PredFrame
+from .mot_metrics import (integrated_mot, namespace_ids,
+                          GTFrame, PredFrame)
 from .run import gt_point_sets, format_table
 
 
-def dets_from_points(preds) -> List[BoxDet]:
-    """Point-set predictions → box detections (centroid + extent)."""
+def dets_from_points(preds) -> List[Tuple[int, BoxDet]]:
+    """Point-set predictions → (pred index, box detection) pairs.
+
+    The pred index is carried explicitly: empty point sets are skipped, so
+    positions in the detection list do NOT align with `preds`.
+    """
     dets = []
-    for conf, _tid, pts in preds:
+    for j, (conf, _tid, pts) in enumerate(preds):
         if pts.shape[0] == 0:
             continue
         lo, hi = pts.min(axis=0), pts.max(axis=0)
-        dets.append(BoxDet(xyz=(lo + hi) / 2.0, yaw=0.0,
-                           lwh=np.maximum(hi - lo, 0.1), conf=conf))
+        dets.append((j, BoxDet(xyz=(lo + hi) / 2.0, yaw=0.0,
+                               lwh=np.maximum(hi - lo, 0.1), conf=conf)))
     return dets
 
 
@@ -50,24 +55,28 @@ def retrack_clip(frames: List[PredFrame], min_hits: int,
     """Replace per-frame track ids with Kalman-tracker ids.
 
     Detections the KF has not yet confirmed (hits < min_hits) are dropped,
-    mirroring AB3DMOT's output lifecycle.
+    mirroring AB3DMOT's output lifecycle. Each original point set is
+    claimed by at most one tracker output (nearest unclaimed centroid).
     """
     trk = KalmanTracker(match_dist=match_dist, min_hits=min_hits,
                         max_age=max_age)
     out: List[PredFrame] = []
     for preds in frames:
-        dets = dets_from_points(preds)
-        tracked = trk.track(dets)
-        # match tracker outputs back to this frame's point sets by centroid
-        centers = [np.asarray(d.xyz) for d in dets]
+        indexed = dets_from_points(preds)
+        tracked = trk.track([d for _, d in indexed])
         frame_out: PredFrame = []
+        claimed: set = set()
         for tid, box, conf in tracked:
-            if not centers:
-                break
-            dists = [np.linalg.norm(box.xyz - c) for c in centers]
-            j = int(np.argmin(dists))
-            if dists[j] < match_dist:
-                frame_out.append((conf, int(tid), preds[j][2]))
+            best_j, best_d = -1, match_dist
+            for j, det in indexed:
+                if j in claimed:
+                    continue
+                d = float(np.linalg.norm(box.xyz - det.xyz))
+                if d < best_d:
+                    best_j, best_d = j, d
+            if best_j >= 0:
+                claimed.add(best_j)
+                frame_out.append((conf, int(tid), preds[best_j][2]))
         out.append(frame_out)
     return out
 
@@ -80,7 +89,7 @@ def evaluate_kf(results_dir: str, dataset_path: str, split: str = "val",
     stream = VodTrackStream(cfg, split=split)
     gt_all: List[GTFrame] = []
     pred_all: List[PredFrame] = []
-    for clip in stream.clips:
+    for ci, clip in enumerate(stream.clips):
         clip_dir = os.path.join(results_dir, clip)
         if not os.path.isdir(clip_dir):
             continue
@@ -94,8 +103,10 @@ def evaluate_kf(results_dir: str, dataset_path: str, split: str = "val",
                 continue
             gts.append(g)
             preds.append(parse_frame_results(os.path.join(clip_dir, name)))
+        tracked = retrack_clip(preds, min_hits, max_age, match_dist)
+        gts, tracked = namespace_ids(gts, tracked, ci)
         gt_all.extend(gts)
-        pred_all.extend(retrack_clip(preds, min_hits, max_age, match_dist))
+        pred_all.extend(tracked)
     return integrated_mot(gt_all, pred_all, iou_thres)
 
 

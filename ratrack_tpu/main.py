@@ -371,7 +371,9 @@ def _run(cfg, log, models_dir, exp_dir):
     # in batched mode one optimizer step covers dp frames, so the LR
     # schedule's per-epoch transition count shrinks accordingly
     opt_steps_per_epoch = max(1, steps_per_epoch // max(1, cfg.dp))
-    ts = create_train_state(model, cfg, first, init_state(cfg.k_max),
+    ts = create_train_state(model, cfg, first,
+                            init_state(cfg.k_max, cfg.gru_layers,
+                                       cfg.feat_dim),
                             opt_steps_per_epoch, seed=cfg.seed)
     tx = make_optimizer(cfg, opt_steps_per_epoch)
     step_fns = (make_train_step(model, tx), make_eval_step(model))
@@ -389,6 +391,12 @@ def _run(cfg, log, models_dir, exp_dir):
                       "using fresh init")
 
     if cfg.eval:
+        # a fresh eval owns its results tree: stale files from previous
+        # runs would silently mix into the MOT scoring below
+        if cfg.results_dir and os.path.isdir(cfg.results_dir):
+            import shutil
+            shutil.rmtree(cfg.results_dir)
+            log.print(f"cleared previous results at {cfg.results_dir}")
         if cfg.scan_frames > 0 and not cfg.vis_dir:
             run_eval_epoch_scan(cfg, model, ts, stream, log,
                                 results_dir=cfg.results_dir)

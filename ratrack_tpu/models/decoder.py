@@ -74,12 +74,16 @@ class FlowDecoder(nn.Module):
         cls = self.cp(cor_feats, mask=mask1, train=train)
         emb = jnp.concatenate([ft1, pc1_feats, cor_feats], axis=-1)
         _, prop = self.mse(pc1, emb, mask1, train)
-        # global feature: masked max over valid points
+        # global feature: masked max over valid points. All-invalid frames
+        # (dp-padding) must yield a FINITE feature: -inf here becomes NaN
+        # downstream, and NaN x zero-loss-cotangent poisons the gradients
+        # of every stream in a batched step.
         if mask1 is not None:
             masked = jnp.where(mask1[:, None], prop, -jnp.inf)
+            gfeat_in = jnp.where(jnp.any(mask1),
+                                 jnp.max(masked, axis=0), 0.0)
         else:
-            masked = prop
-        gfeat_in = jnp.max(masked, axis=0)                     # (128,)
+            gfeat_in = jnp.max(prop, axis=0)                   # (128,)
         return cls, prop, gfeat_in
 
     def gru_apply(self, gfeat_in, h):

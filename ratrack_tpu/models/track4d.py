@@ -22,7 +22,7 @@ import flax.linen as nn
 
 from ..data.frames import FrameBatch
 from ..tracker.dbscan import dbscan
-from ..tracker.state import TrackState, init_state
+from ..tracker.state import TrackState, init_state, reset_where
 from ..tracker.association import (cluster_descriptors, greedy_gt_match,
                                    associate)
 from .pnhead import PNHead
@@ -32,9 +32,17 @@ from .affinity import Affinity
 
 
 def _masked_max(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+    """Max over valid rows; 0 when no row is valid.
+
+    The all-invalid guard matters: empty dp-padding frames otherwise
+    produce -inf global features → NaN activations, and NaN × the zeroed
+    loss cotangent is NaN — one batched train step would poison every
+    parameter through the mean-over-streams gradient.
+    """
     if mask is None:
         return jnp.max(x, axis=0)
-    return jnp.max(jnp.where(mask[:, None], x, -jnp.inf), axis=0)
+    v = jnp.max(jnp.where(mask[:, None], x, -jnp.inf), axis=0)
+    return jnp.where(jnp.any(mask), v, 0.0)
 
 
 class Track4D(nn.Module):
@@ -122,30 +130,14 @@ class Track4D(nn.Module):
         diff = desc_curr[None, :, :] - desc_prev[:, None, :]
         return self.affinity(diff)
 
-    # ---- backbone: features → cost volume → flow/cls (track4d.py:67-106) --
-    def backbone(self, frame: FrameBatch, h: jnp.ndarray,
-                 train: bool = True):
-        cls, prop, gfeat_in = self.frame_stage(frame, train)
-        gfeat_out, h_new = self.gru_stage(gfeat_in, h)
-        flow = self.fd_layer.post_gru(prop, gfeat_out, frame.mask1, train)
-        return flow, h_new, cls, prop
-
     # ---- full step: forward + clustering + association ----
     def __call__(self, frame: FrameBatch, state: TrackState,
                  train: bool = True) -> Tuple[Dict[str, jnp.ndarray],
                                               TrackState]:
         # sequence-boundary reset (main_utils.py:70-74); next_id carries on
-        fresh = init_state(self.k_max, self.gru_layers, self.feat_dim)
-        ns = frame.new_seq
-        state = TrackState(
-            h=jnp.where(ns, fresh.h, state.h),
-            desc=jnp.where(ns, fresh.desc, state.desc),
-            valid=jnp.where(ns, fresh.valid, state.valid),
-            track_id=jnp.where(ns, fresh.track_id, state.track_id),
-            gt_id=jnp.where(ns, fresh.gt_id, state.gt_id),
-            next_id=state.next_id,
-            frame_idx=jnp.where(ns, 0, state.frame_idx),
-        )
+        state = reset_where(frame.new_seq, state,
+                            init_state(self.k_max, self.gru_layers,
+                                       self.feat_dim))
 
         cls, prop, gfeat_in = self.frame_stage(frame, train)
         gfeat_out, h_new = self.gru_stage(gfeat_in, state.h)

@@ -41,9 +41,10 @@ def top_k_exact(keys: jnp.ndarray, k: int):
         v, i = jax.lax.top_k(keys, _TOPK_CHUNK)
         vals.append(v)
         idxs.append(i)
-        taken = jnp.any(
-            jax.nn.one_hot(i, keys.shape[-1], dtype=bool), axis=-2)
-        keys = jnp.where(taken, -jnp.inf, keys)
+        # scatter-mask the taken entries (a one-hot over the key axis
+        # would cost chunk x 16 x M memory — 16x the key matrix)
+        keys = jnp.put_along_axis(keys, i, -jnp.inf, axis=-1,
+                                  inplace=False)
     return (jnp.concatenate(vals, -1)[..., :k],
             jnp.concatenate(idxs, -1)[..., :k])
 

@@ -261,11 +261,15 @@ class TestKalmanRetrack:
     def test_dets_from_points(self):
         from ratrack_tpu.eval.run_kf import dets_from_points
         pts = np.array([[0, 0, 0], [2, 4, 1]], np.float32)
-        dets = dets_from_points([(0.7, 3, pts)])
+        empty = np.zeros((0, 3), np.float32)
+        dets = dets_from_points([(0.5, 9, empty), (0.7, 3, pts)])
+        # empty point set skipped; original pred index carried through
         assert len(dets) == 1
-        np.testing.assert_allclose(dets[0].xyz, [1, 2, 0.5])
-        np.testing.assert_allclose(dets[0].lwh, [2, 4, 1])
-        assert dets[0].conf == 0.7
+        j, det = dets[0]
+        assert j == 1
+        np.testing.assert_allclose(det.xyz, [1, 2, 0.5])
+        np.testing.assert_allclose(det.lwh, [2, 4, 1])
+        assert det.conf == 0.7
 
     def test_kf_rescues_id_switches_in_metrics(self):
         """sAMOTA after KF re-tracking beats raw id-scrambled tracks."""

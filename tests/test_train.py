@@ -265,3 +265,27 @@ def test_pipelined_eval_matches_sequential_scan():
         lambda a, b_: np.testing.assert_array_equal(np.asarray(a),
                                                     np.asarray(b_)),
         ts_seq, ts_pipe)
+
+
+def test_all_padding_stream_keeps_gradients_finite():
+    """Regression: an all-padding stream (dp > #clips) once produced -inf
+    global features whose NaN activations poisoned every parameter through
+    the mean-over-streams gradient (NaN x zero-cotangent = NaN)."""
+    from ratrack_tpu.data.frames import empty_frame
+
+    model = tiny_model()
+    cfg = tiny_cfg()
+    real = clip(0, 1)[0]
+    pad = empty_frame(N, G)
+    ts = create_train_state(model, cfg, real, init_state(K),
+                            steps_per_epoch=3)
+    tx = make_optimizer(cfg, 3)
+    step = make_train_step(model, tx)
+    batch = FrameBatch(*[jnp.asarray(
+        np.stack([np.asarray(a), np.asarray(b)]))
+        for a, b in zip(real, pad)])
+    tstates = jax.vmap(lambda _: init_state(K))(jnp.arange(2))
+    ts2, _, items = step(ts, tstates, batch, jnp.asarray(False))
+    assert float(np.asarray(items["Loss"])[1]) == 0.0
+    assert all(bool(np.isfinite(np.asarray(x)).all())
+               for x in jax.tree_util.tree_leaves(ts2.params))

@@ -16,7 +16,7 @@ Vectorized NumPy replacements for the reference's open3d-based GT path:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

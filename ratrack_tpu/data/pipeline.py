@@ -23,7 +23,7 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 from .frames import FrameBatch, empty_frame
-from .gt import build_frame_gt, rigid_gt_flow, FrameGT
+from .gt import build_frame_gt, rigid_gt_flow
 from .vod import (VodLocations, FrameData, Transforms,
                   parse_tracking_labels, filter_moving_labels,
                   ego_motion_radar, compensate_ego)

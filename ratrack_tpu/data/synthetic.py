@@ -8,7 +8,7 @@ the role the reference's example_set mini-dataset plays for the VoD devkit
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import List
 
 import numpy as np
 

@@ -24,7 +24,7 @@ import dataclasses
 import json
 import os
 from functools import cached_property
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

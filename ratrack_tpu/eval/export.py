@@ -13,7 +13,6 @@ outputs under the reference's src/result/4dmot_runthis/ follow this shape.
 from __future__ import annotations
 
 import os
-from typing import Dict
 
 import numpy as np
 

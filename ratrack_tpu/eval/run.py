@@ -24,8 +24,7 @@ from typing import Dict, List
 import numpy as np
 
 from ..config import Config
-from ..data.pipeline import (VodTrackStream, TRAIN_CLIPS, VAL_CLIPS,
-                             TEST_CLIPS)
+from ..data.pipeline import VodTrackStream
 from ..data.gt import build_frame_gt
 from .export import parse_frame_results
 from .mot_metrics import (integrated_mot, namespace_ids,

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 import time
 from typing import Dict, List
 
@@ -65,10 +64,13 @@ class _SynthStream:
         from .data.synthetic import synthetic_clip
         for clip in self.clips:
             ci = int(clip.split("_")[1])
+            # static-clutter density scales with the pad budget so the
+            # stretch configs actually fill their clouds
+            n_static = min(self.cfg.n_max - 64,
+                           max(60, self.cfg.n_max * 3 // 5))
             for rec in synthetic_clip(
                     ci, self.cfg.synth_frames, n_max=self.cfg.n_max,
-                    g_max=self.cfg.g_max,
-                    n_static=min(60, self.cfg.n_max - 64)):
+                    g_max=self.cfg.g_max, n_static=n_static):
                 yield clip, rec
 
 

@@ -10,10 +10,7 @@ that resume gap, with the same last/last<ep>/best naming.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from .step import TrainState

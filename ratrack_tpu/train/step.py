@@ -15,7 +15,6 @@ per-clip updates.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

@@ -39,7 +39,9 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
       points are never selected (provided at least one point is valid).
     """
     n = xyz.shape[0]
-    xyz = xyz.astype(jnp.float32)
+    # jnp.asarray, not .astype: a host ndarray input would stay NumPy and
+    # xyz[<traced index>] inside the loop then fails at trace time
+    xyz = jnp.asarray(xyz, jnp.float32)
     if mask is None:
         mask = jnp.ones((n,), dtype=bool)
     # running min-distance; invalid points pinned to -1 so argmax skips them

@@ -52,7 +52,12 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
 def create_train_state(model, cfg, example_frame, example_track_state,
                        steps_per_epoch: int, seed: int = 0) -> TrainState:
     # jitted init: one compiled program instead of eager per-op dispatch
-    # (the latter is very slow against a remote TPU backend).
+    # (the latter is very slow against a remote TPU backend). Inputs are
+    # device arrays, not closed-over host constants — NumPy leaves inside
+    # the trace break ops that index with traced scalars (exact FPS).
+    example_frame = jax.tree_util.tree_map(jnp.asarray, example_frame)
+    example_track_state = jax.tree_util.tree_map(jnp.asarray,
+                                                 example_track_state)
     variables = jax.jit(
         lambda key: model.init(key, example_frame, example_track_state,
                                train=False))(jax.random.PRNGKey(seed))

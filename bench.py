@@ -30,7 +30,16 @@ K_MAX = 32
 
 
 def main():
+    import os
+
     import jax
+    # persistent compilation cache: remote-TPU compile latency is highly
+    # variable (16s-370s observed for the same program); cached reruns
+    # skip it entirely
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from ratrack_tpu.models import Track4D
     from ratrack_tpu.tracker import init_state

@@ -56,6 +56,7 @@ class Config:
     sinkhorn_alpha: float = 0.9
     match_conf_thres: float = 0.01  # track4d.py:146
     mov_thres: float = 0.5         # track4d.py:56
+    mov_budget: int = 0            # >0: DBSCAN over top-K moving pts only
     gru_layers: int = 5            # model_utils.py:279
     feat_dim: int = 128
     dtype: str = "float32"         # compute dtype for MLPs ("bfloat16" on TPU)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..data.frames import FrameBatch
-from ..tracker.dbscan import dbscan
+from ..tracker.dbscan import dbscan, compact_dbscan
 from ..tracker.state import TrackState, init_state, reset_where
 from ..tracker.association import (cluster_descriptors, greedy_gt_match,
                                    associate)
@@ -59,6 +59,7 @@ class Track4D(nn.Module):
     sinkhorn_alpha: float = 0.9   # track4d.py:167 passes fixed 0.9
     match_conf_thres: float = 0.01
     mov_thres: float = 0.5
+    mov_budget: int = 0           # >0: compact moving pts before DBSCAN
     exact_fps: bool = False
     dtype: Any = jnp.float32
 
@@ -110,8 +111,13 @@ class Track4D(nn.Module):
 
         mov = (cls > self.mov_thres) & frame.mask1
         db_in = jnp.concatenate([feats[:, 3:9], feats[:, 10:12]], axis=-1)
-        labels = dbscan(db_in, mov, self.dbscan_eps, self.min_obj_points,
-                        self.dbscan_max_iters)
+        if 0 < self.mov_budget < db_in.shape[0]:
+            labels = compact_dbscan(db_in, mov, cls, self.mov_budget,
+                                    self.dbscan_eps, self.min_obj_points,
+                                    self.dbscan_max_iters)
+        else:
+            labels = dbscan(db_in, mov, self.dbscan_eps,
+                            self.min_obj_points, self.dbscan_max_iters)
         labels = jnp.where(labels < self.k_max, labels, -1)
 
         desc, curr_valid, sizes, _ = cluster_descriptors(
@@ -179,6 +185,6 @@ def model_from_config(cfg) -> Track4D:
         sinkhorn_iters=cfg.sinkhorn_iters, sinkhorn_alpha=cfg.sinkhorn_alpha,
         sinkhorn_tol=cfg.sinkhorn_tol,
         match_conf_thres=cfg.match_conf_thres, mov_thres=cfg.mov_thres,
-        exact_fps=cfg.exact_fps,
+        mov_budget=cfg.mov_budget, exact_fps=cfg.exact_fps,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )

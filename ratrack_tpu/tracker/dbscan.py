@@ -28,6 +28,29 @@ import jax.numpy as jnp
 from ..ops import square_distance
 
 
+def compact_dbscan(x: jnp.ndarray, mask: jnp.ndarray, scores: jnp.ndarray,
+                   budget: int, eps: float, min_samples: int,
+                   max_iters: int = 64) -> jnp.ndarray:
+    """DBSCAN over the top-`budget` masked points by score.
+
+    Compacts the masked points into a budget-slot subset before the O(M²)
+    adjacency — radar frames have far fewer moving points than the pad
+    budget. Selected indices are re-sorted ascending so the
+    first-occurrence label numbering matches a full-array `dbscan` run
+    exactly: results are identical whenever `sum(mask) <= budget`; beyond
+    that the lowest-score extras are dropped (never clustered).
+    """
+    n = x.shape[0]
+    keys = jnp.where(mask, scores, -1.0)
+    _, sel = jax.lax.top_k(keys, budget)
+    sel = jnp.sort(sel)
+    sel_mask = jnp.take(mask, sel)
+    sub = dbscan(jnp.take(x, sel, axis=0), sel_mask, eps, min_samples,
+                 max_iters)
+    labels = jnp.full((n,), -1, jnp.int32)
+    return labels.at[sel].set(jnp.where(sel_mask, sub, -1))
+
+
 def dbscan(x: jnp.ndarray, mask: jnp.ndarray, eps: float, min_samples: int,
            max_iters: int = 64) -> jnp.ndarray:
     """Cluster valid rows of x.

@@ -162,3 +162,42 @@ def test_forward_bfloat16():
         variables, frame, state)
     assert np.isfinite(np.asarray(out["flow"], np.float32)).all()
     assert out["feats"].dtype == jnp.float32   # 139-ch tensor stays f32
+
+
+@pytest.mark.slow
+def test_mov_budget_compacted_dbscan_is_exact():
+    """compact_dbscan == dbscan whenever #masked <= budget, and the model
+    runs with a budget configured."""
+    from ratrack_tpu.tracker.dbscan import dbscan, compact_dbscan
+    from ratrack_tpu.data.synthetic import synthetic_clip
+
+    rng = np.random.RandomState(3)
+    n = 128
+    x = jnp.asarray(np.concatenate(
+        [rng.randn(10, 8) * 0.3, rng.randn(12, 8) * 0.3 + 6,
+         rng.uniform(-20, 20, (n - 22, 8))]).astype(np.float32))
+    mask = np.zeros(n, bool)
+    mask[rng.choice(n, 40, replace=False)] = True     # 40 moving <= 48
+    mask = jnp.asarray(mask)
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    want = np.asarray(dbscan(x, mask, 1.5, 2, 64))
+    got = np.asarray(compact_dbscan(x, mask, scores, 48, 1.5, 2, 64))
+    np.testing.assert_array_equal(got, want)
+
+    # overflow regime: only the budget-many highest scores get clustered
+    got_of = np.asarray(compact_dbscan(x, mask, scores, 16, 1.5, 2, 64))
+    assert (got_of[~np.asarray(mask)] == -1).all()
+    assert np.sum(got_of >= 0) <= 16
+
+    # model path with a budget runs end to end
+    frame = jax.tree_util.tree_map(
+        jnp.asarray, synthetic_clip(6, 1, n_max=N, g_max=G, n_static=40,
+                                    n_objects=2, pts_per_obj=8)[0])
+    comp = Track4D(npoint=N, k_max=K, sinkhorn_iters=20, mov_budget=64)
+    state = init_state(K)
+    variables = jax.jit(
+        lambda k: comp.init(k, frame, state, train=False))(
+        jax.random.PRNGKey(0))
+    out, _ = jax.jit(lambda v, f, s: comp.apply(v, f, s, train=False))(
+        variables, frame, state)
+    assert np.isfinite(np.asarray(out["flow"])).all()

@@ -324,3 +324,20 @@ class TestStreamScoring:
             iter([("synth_1", r) for r in recs]), results)
         assert m["samota"] == pytest.approx(1.0, abs=1e-6)
         assert m["idsw"] == 0
+
+
+def test_plot_frame_bev_writes_png(tmp_path):
+    from ratrack_tpu.utils.vis import plot_frame_bev
+    rng = np.random.RandomState(0)
+    n = 60
+    pc1 = rng.randn(n, 3).astype(np.float32) * 10 + [20, 0, 1]
+    mask = np.ones(n, bool)
+    mask[-5:] = False
+    cls = rng.rand(n).astype(np.float32)
+    labels = np.where(rng.rand(n) > 0.7, rng.randint(0, 3, n), -1)
+    path = plot_frame_bev(str(tmp_path / "f" / "00001.png"), pc1, mask,
+                          cls, labels, np.array([5, 9, 12]),
+                          flow=rng.randn(n, 3).astype(np.float32) * 0.1,
+                          title="test frame")
+    import os
+    assert os.path.exists(path) and os.path.getsize(path) > 1000

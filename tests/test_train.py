@@ -289,3 +289,39 @@ def test_all_padding_stream_keeps_gradients_finite():
     assert float(np.asarray(items["Loss"])[1]) == 0.0
     assert all(bool(np.isfinite(np.asarray(x)).all())
                for x in jax.tree_util.tree_leaves(ts2.params))
+
+
+def test_prefetcher_propagates_errors_and_preserves_order():
+    from ratrack_tpu.data.pipeline import Prefetcher
+
+    assert list(Prefetcher(iter(range(20)), depth=3)) == list(range(20))
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("producer failed")
+
+    it = iter(Prefetcher(boom(), depth=2))
+    assert next(it) == 1 and next(it) == 2
+    with pytest.raises(ValueError, match="producer failed"):
+        next(it)
+
+
+def test_batched_blocks_all_skipped_group_yields_padding():
+    """A group whose stream yields nothing (all frames skipped) must not
+    spin forever — it degrades to all-padding frames."""
+    from ratrack_tpu.data.pipeline import batched_blocks
+
+    def make_stream(clips):
+        if clips == ["empty"]:
+            return []
+        return [(c, r) for c in clips
+                for r in synthetic_clip(0, 2, n_max=N, g_max=G,
+                                        n_static=40, n_objects=2,
+                                        pts_per_obj=8)]
+
+    blocks = list(batched_blocks(make_stream, [["ok"], ["empty"]],
+                                 [2, 0], 2, N, G))
+    assert len(blocks) == 1
+    assert not np.asarray(blocks[0].mask1[1]).any()   # padding stream
+    assert np.asarray(blocks[0].mask1[0]).any()       # real stream

@@ -15,6 +15,43 @@ from typing import Optional
 import numpy as np
 
 
+def plot_projection_2d(path: str, points: np.ndarray,
+                       t_camera_sensor: np.ndarray,
+                       projection_matrix: np.ndarray,
+                       image_shape=(1216, 1936),
+                       image: Optional[np.ndarray] = None,
+                       title: str = "") -> str:
+    """Project a sensor-frame cloud into the camera canvas and render it.
+
+    The devkit-visualizer capability (reference Visualization2D,
+    src/vod/visualization/vis_2d.py): points colored by depth over the
+    camera image (or a blank canvas when no image is available).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..data.projection import project_pcl_to_image
+
+    uvs, depth = project_pcl_to_image(points, t_camera_sensor,
+                                      projection_matrix, image_shape)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    if image is not None:
+        ax.imshow(image)
+    else:
+        ax.set_xlim(0, image_shape[1])
+        ax.set_ylim(image_shape[0], 0)
+        ax.set_facecolor("0.1")
+    if uvs.shape[0]:
+        sc = ax.scatter(uvs[:, 0], uvs[:, 1], c=depth, s=8, cmap="turbo")
+        fig.colorbar(sc, ax=ax, label="depth (m)")
+    ax.set_title(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_frame_bev(path: str, pc1: np.ndarray, mask: np.ndarray,
                    cls: np.ndarray, labels: np.ndarray,
                    track_ids: np.ndarray, flow: Optional[np.ndarray] = None,

@@ -341,3 +341,18 @@ def test_plot_frame_bev_writes_png(tmp_path):
                           title="test frame")
     import os
     assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+def test_plot_projection_2d_writes_png(tmp_path):
+    from ratrack_tpu.utils.vis import plot_projection_2d
+    rng = np.random.RandomState(0)
+    pts = np.concatenate([rng.uniform([-5, -3, 2], [5, 3, 40], (80, 3))],
+                         0).astype(np.float32)
+    # camera looks along +z; KITTI-style P with cx,cy in the 3rd column
+    p = np.array([[800.0, 0, 960, 0], [0, 800.0, 600, 0],
+                  [0, 0, 1.0, 0]], np.float32)
+    path = plot_projection_2d(str(tmp_path / "proj.png"), pts,
+                              np.eye(4, dtype=np.float32), p,
+                              image_shape=(1216, 1936), title="proj")
+    import os
+    assert os.path.exists(path) and os.path.getsize(path) > 1000

@@ -1,0 +1,120 @@
+"""Multi-config benchmark suite covering the BASELINE.json scenarios.
+
+Unlike bench.py (ONE headline JSON line for the driver), this prints one
+JSON line per scenario:
+
+  1. live-config eval, single stream (config 1 shape: one clip, batch 1)
+  2. full eval throughput, 8 streams x 32-frame scans (config 2/5 shape)
+  3. fused training throughput, grad + per-frame Adam (config 3 shape)
+  4. 8k-point stretch eval, single stream (config 4 shape)
+
+Run on the real TPU: `python tools/bench_suite.py`.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _bench(fn, args, n_frames, reps=5):
+    import jax
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    return dict(fps=round(n_frames / dt, 2),
+                ms_per_frame=round(1000 * dt / n_frames, 3),
+                compile_s=round(compile_s, 1))
+
+
+def _setup(n_max, b, t, sinkhorn=500, mov_budget=0, exact_fps=False,
+           npoint=512):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ratrack_tpu.models import Track4D
+    from ratrack_tpu.tracker import init_state
+    from ratrack_tpu.data.synthetic import synthetic_clip, stack_frames
+    from ratrack_tpu.data.frames import FrameBatch
+
+    model = Track4D(npoint=min(npoint, n_max), k_max=32,
+                    sinkhorn_iters=sinkhorn, mov_budget=mov_budget,
+                    exact_fps=exact_fps)
+    clips = [synthetic_clip(s, t, n_max=n_max, g_max=32,
+                            n_static=min(4000, max(60, n_max * 3 // 5)),
+                            n_objects=5) for s in range(b)]
+    stacked = [stack_frames(c) for c in clips]
+    frames = FrameBatch(*[
+        jnp.asarray(np.stack([getattr(s, f) for s in stacked]))
+        for f in FrameBatch._fields])
+    frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
+    state0 = init_state(32)
+    variables = jax.jit(
+        lambda key: model.init(key, frame0, state0, train=False))(
+        jax.random.PRNGKey(0))
+    tstates = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (b,) + x.shape), state0)
+    return model, variables, frames, tstates
+
+
+def main():
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    import jax.numpy as jnp
+    from ratrack_tpu.config import Config
+    from ratrack_tpu.train.step import (make_scan_eval_step,
+                                        make_scan_train_step,
+                                        create_train_state, make_optimizer)
+    from ratrack_tpu.tracker import init_state
+    from ratrack_tpu.data.synthetic import synthetic_clip
+
+    results = []
+
+    # 1. single-stream live config (BASELINE config 1 shape)
+    model, variables, frames, tstates = _setup(512, 1, 32)
+    r = _bench(make_scan_eval_step(model), (variables, tstates, frames), 32)
+    results.append(dict(scenario="eval_512pt_1stream", **r))
+
+    # 2. full eval throughput (configs 2/5 shape)
+    model, variables, frames, tstates = _setup(512, 8, 32)
+    r = _bench(make_scan_eval_step(model), (variables, tstates, frames),
+               8 * 32)
+    results.append(dict(scenario="eval_512pt_8streams", **r))
+
+    # 3. fused training (config 3 shape: batch 8, single chip)
+    cfg = Config(n_max=512, k_max=32, g_max=32, npoints=512,
+                 sinkhorn_iters=500)
+    model, variables, frames, tstates = _setup(512, 8, 8)
+    frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
+    ts = create_train_state(model, cfg, frame0, init_state(32), 100)
+    tx = make_optimizer(cfg, 100)
+    scan_train = make_scan_train_step(model, tx)
+    r = _bench(lambda *a: scan_train(*a)[2],
+               (ts, tstates, frames, jnp.asarray(False)), 8 * 8, reps=3)
+    results.append(dict(scenario="train_512pt_8streams", **r))
+
+    # 4. 8k stretch eval (config 4 shape)
+    model, variables, frames, tstates = _setup(
+        8192, 1, 4, exact_fps=True, mov_budget=512)
+    r = _bench(make_scan_eval_step(model), (variables, tstates, frames),
+               4, reps=3)
+    results.append(dict(scenario="eval_8192pt_stretch", **r))
+
+    for row in results:
+        row["backend"] = jax.default_backend()
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,9 @@ def compact_dbscan(x: jnp.ndarray, mask: jnp.ndarray, scores: jnp.ndarray,
     that the lowest-score extras are dropped (never clustered).
     """
     n = x.shape[0]
-    keys = jnp.where(mask, scores, -1.0)
+    # -inf sentinel: any finite sentinel would outrank masked points whose
+    # scores fall below it (e.g. signed logits), silently dropping them
+    keys = jnp.where(mask, scores, -jnp.inf)
     _, sel = jax.lax.top_k(keys, budget)
     sel = jnp.sort(sel)
     sel_mask = jnp.take(mask, sel)

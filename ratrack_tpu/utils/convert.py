@@ -208,7 +208,10 @@ def convert_reference_state_dict(
 def load_reference_checkpoint(path: str):
     """Load a reference .t7/.pt checkpoint file and convert it."""
     import torch
-    sd = torch.load(path, map_location="cpu")
+    # weights_only=False: torch >= 2.6 defaults to True, which refuses
+    # whole-module pickles before the state_dict fallback could run; the
+    # reference checkpoint is explicitly trusted input here
+    sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return convert_reference_state_dict(sd)

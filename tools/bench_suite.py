@@ -71,6 +71,7 @@ def main():
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from ratrack_tpu.config import Config
     from ratrack_tpu.train.step import (make_scan_eval_step,

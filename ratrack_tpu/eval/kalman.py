@@ -37,9 +37,7 @@ class BoxDet:
 
 
 class _Track:
-    _next_id = 0
-
-    def __init__(self, det: BoxDet):
+    def __init__(self, det: BoxDet, track_id: int):
         self.x = np.zeros(_DIM_X)
         self.x[:_DIM_Z] = det.z
         self.P = np.eye(_DIM_X) * 10.0
@@ -48,8 +46,7 @@ class _Track:
         self.misses = 0
         self.age = 1
         self.conf = det.conf
-        self.id = _Track._next_id
-        _Track._next_id += 1
+        self.id = track_id
 
     def predict(self) -> None:
         f = np.eye(_DIM_X)
@@ -92,6 +89,8 @@ class KalmanTracker:
         self.max_age = max_age
         self.tracks: List[_Track] = []
         self.frame = 0
+        self._next_id = 0                  # per-tracker id counter (no
+                                           # cross-instance leakage)
 
     def track(self, dets: List[BoxDet],
               ego_motion: Optional[np.ndarray] = None
@@ -111,7 +110,8 @@ class KalmanTracker:
         for ti in un_t:
             self.tracks[ti].misses += 1
         for di in un_d:
-            self.tracks.append(_Track(dets[di]))
+            self.tracks.append(_Track(dets[di], self._next_id))
+            self._next_id += 1
         self.tracks = [t for t in self.tracks if t.misses <= self.max_age]
 
         out = []

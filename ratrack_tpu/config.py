@@ -49,6 +49,7 @@ class Config:
     k_max: int = 32                # track/cluster slots per frame
     g_max: int = 32                # GT object slots per frame
     exact_fps: bool = False        # True: run true FPS even when npoint==n_max
+    fused_sa: bool = True          # fused Pallas SA scales on the eval path
     dbscan_eps: float = 1.5        # track4d.py:36
     dbscan_max_iters: int = 64
     sinkhorn_iters: int = 500      # track4d.py:167

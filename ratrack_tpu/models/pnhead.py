@@ -22,6 +22,8 @@ import flax.linen as nn
 from ..ops import (furthest_point_sample, identity_sample, gather,
                    query_and_group, three_nn, three_interpolate,
                    three_interpolate_weights)
+from ..ops import pallas_sa
+from ..ops.pallas_sa import TILE_M, fold_bn_params, fused_sa_scale
 from .layers import PointwiseMLP
 
 
@@ -31,6 +33,14 @@ class SetAbstractionMSG(nn.Module):
     Reference: PointnetSAModuleMSG (pointnet2_modules.py:19-94): FPS centers,
     per-scale ball query + group → SharedMLP → max-pool over samples, concat
     scales over channels.
+
+    Eval path (`train=False`, `fused_eval`): each scale runs as ONE fused
+    Pallas kernel (ops/pallas_sa.py) — selection mask, exact one-hot slot
+    gather, BN-folded MLP and max-pool never leave VMEM, replacing the
+    sort + gather + small-fusion chain that dominates the profiled step.
+    Train keeps the unfused path: its BN batch statistics include the
+    CUDA first-hit duplicate padding slots, which the fused formulation
+    deliberately never materializes.
     """
     npoint: int
     radii: Sequence[float]
@@ -38,6 +48,7 @@ class SetAbstractionMSG(nn.Module):
     mlps: Sequence[Sequence[int]]   # per-scale output channels (input inferred)
     exact_fps: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_eval: bool = True
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True):
@@ -50,16 +61,33 @@ class SetAbstractionMSG(nn.Module):
             idx = furthest_point_sample(xyz, self.npoint, mask)
         new_xyz = gather(xyz, idx)
 
+        c_in = 3 + (features.shape[-1] if features is not None else 0)
+        fused = (not train and self.fused_eval and pallas_sa.fused_available()
+                 and n % 128 == 0 and self.npoint % TILE_M == 0)
         outs = []
         for s, (r, ns, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
+            module = PointwiseMLP(mlp, bn=True, dtype=self.dtype,
+                                  name=f"mlp_{s}")
+            if fused:
+                # materialize the (identical) param tree, then read it for
+                # BN folding; XLA dead-code-eliminates the dummy apply
+                _ = module(jnp.zeros((1, 1, c_in), self.dtype), train=False)
+                ws, bs = fold_bn_params(module.variables)
+                # default MXU precision in all dtypes: the unfused path's
+                # f32 Dense dots also run at default (bf16-pass) precision,
+                # so this matches its numerics class at bf16 speed
+                outs.append(fused_sa_scale(
+                    xyz, new_xyz, features, mask, tuple(ws), tuple(bs),
+                    radius=r, nsample=ns, compute_dtype=self.dtype,
+                    ).astype(self.dtype))
+                continue
             g = query_and_group(r, ns, xyz, new_xyz, features, mask)
             # (npoint, nsample, 3+C) -> MLP -> max over samples.
             # BN statistics run over (npoint, nsample); centers are all real
             # points (possibly duplicated), matching the reference which also
             # keeps npoint centers regardless of the raw point count.
-            g = PointwiseMLP(mlp, bn=True, dtype=self.dtype,
-                             name=f"mlp_{s}")(g, mask=None, train=train)
+            g = module(g, mask=None, train=train)
             outs.append(jnp.max(g, axis=1))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -97,18 +125,22 @@ class PNHead(nn.Module):
     npoint: int
     exact_fps: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_eval: bool = True
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True):
         sa1 = SetAbstractionMSG(self.npoint, [2., 4.], [4, 8],
                                 [[16, 16, 32], [16, 16, 32]],
-                                self.exact_fps, self.dtype, name="sa1")
+                                self.exact_fps, self.dtype,
+                                self.fused_eval, name="sa1")
         sa2 = SetAbstractionMSG(self.npoint, [4., 8.], [8, 16],
                                 [[32, 32], [32, 64]],
-                                self.exact_fps, self.dtype, name="sa2")
+                                self.exact_fps, self.dtype,
+                                self.fused_eval, name="sa2")
         sa3 = SetAbstractionMSG(self.npoint, [8., 16.], [16, 32],
                                 [[64, 64], [64, 64]],
-                                self.exact_fps, self.dtype, name="sa3")
+                                self.exact_fps, self.dtype,
+                                self.fused_eval, name="sa3")
 
         l1_xyz, l1 = sa1(xyz, features, mask, train)
         l1 = nn.Dense(32, dtype=self.dtype, name="linear1")(l1)

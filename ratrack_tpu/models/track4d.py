@@ -62,13 +62,15 @@ class Track4D(nn.Module):
     mov_budget: int = 0           # >0: compact moving pts before DBSCAN
     exact_fps: bool = False
     dtype: Any = jnp.float32
+    fused_eval: bool = True   # Pallas fused SA scales on the eval path
 
     def setup(self):
-        self.pn_head = PNHead(self.npoint, self.exact_fps, self.dtype)
+        self.pn_head = PNHead(self.npoint, self.exact_fps, self.dtype,
+                              self.fused_eval)
         self.fc_layer = FeatureCorrelator(16, (256, 256, 256), self.dtype)
         self.fd_layer = FlowDecoder(self.npoint, self.feat_dim,
                                     self.gru_layers, self.exact_fps,
-                                    self.dtype)
+                                    self.dtype, self.fused_eval)
         self.affinity = Affinity(141, self.dtype)
         # registered-but-unused learnable bin score, as in the reference
         # (track4d.py:41-42 registers it; :167 uses the constant 0.9).
@@ -186,5 +188,6 @@ def model_from_config(cfg) -> Track4D:
         sinkhorn_tol=cfg.sinkhorn_tol,
         match_conf_thres=cfg.match_conf_thres, mov_thres=cfg.mov_thres,
         mov_budget=cfg.mov_budget, exact_fps=cfg.exact_fps,
+        fused_eval=cfg.fused_sa,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )

@@ -10,28 +10,45 @@ Sinkhorn association, ID assignment) on real hardware:
   * workload: 8 parallel clip streams (frames within a clip are serially
     dependent through the GRU/track state, so cross-clip batching is the
     only legal parallelism) × lax.scan over 32 frames per dispatch.
+  * hot path: fused Pallas kernels for every neighborhood stage (set
+    abstraction, 3-NN feature propagation, cost-volume correlator) — no
+    sorts, no gathers; see ratrack_tpu/ops/pallas_{sa,fp,correlator}.py.
 
-Prints ONE JSON line. `vs_baseline` is measured fps / 25, where 25 fps is
-the working estimate of the reference's RTX-4090 end-to-end rate (no
-throughput numbers are published in the reference — SURVEY.md §6; the
-estimate reflects its per-frame python loop with host DBSCAN round-trips).
+Prints ONE JSON line including an xprof-derived device-time breakdown by
+HLO category and MFU vs the chip's self-reported peak
+(tools/xprof_breakdown.py parses the raw xplane capture).
+
+`vs_baseline` context: the reference publishes NO throughput numbers
+(SURVEY.md §6). Two anchors bound its RTX-4090 rate:
+  * measured on this host (tools note, 2026-08): the reference's
+    per-frame HOST work alone — sklearn DBSCAN on ~100 moving points
+    (1.6 ms) + the python M×N affinity/object dict loops
+    (src/models/track4d.py:182-223, ~3.2 ms at 10 objects) — is ~5 ms,
+    an upper bound of ~200 fps even with an infinitely fast GPU, before
+    the per-frame label-file reads, open3d in-box tests and H2D/D2H
+    syncs (SURVEY §2.3) that dominate its loop;
+  * REF_FPS_ESTIMATE = 25 additionally assumes ~35 ms of GPU forward +
+    transfer + GT assembly per frame, consistent with a per-frame
+    synchronized PyTorch loop of this size on a 4090.
+vs_baseline is measured fps ÷ that 25 fps estimate; the ~200 fps
+host-bound ceiling makes the ≥10× BASELINE.json north star checkable
+even under the most generous reading of the reference.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 REF_FPS_ESTIMATE = 25.0
-N_STREAMS = 8       # measured knee: ~flat 2.8 ms/frame from B=4 to B=16
+N_STREAMS = 8       # measured knee: throughput ~flat from B=4 to B=16
 SCAN_T = 32
 N_MAX = 512
 K_MAX = 32
 
 
 def main():
-    import os
-
     import jax
     # persistent compilation cache: remote-TPU compile latency is highly
     # variable (16s-370s observed for the same program); cached reruns
@@ -84,6 +101,33 @@ def main():
     dt = (time.time() - t0) / reps
     fps = N_STREAMS * SCAN_T / dt
 
+    # device-time breakdown + MFU from one traced dispatch
+    prof = {}
+    if jax.default_backend() == "tpu":
+        try:
+            import shutil
+            import sys
+            trace_dir = "/tmp/ratrack_bench_prof"
+            shutil.rmtree(trace_dir, ignore_errors=True)
+            with jax.profiler.trace(trace_dir):
+                out = scan_eval(variables, tstates, frames)
+                jax.block_until_ready(out)
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from xprof_breakdown import analyze_trace
+            r = analyze_trace(trace_dir)
+            prof = {
+                "mfu": r.get("mfu"),
+                "peak_tflops_per_s": r.get("peak_tflops_per_s"),
+                "achieved_tflops_per_s": r.get("achieved_tflops_per_s"),
+                "device_ms_per_frame": round(
+                    r["device_time_ms"] / (N_STREAMS * SCAN_T), 3),
+                "breakdown": {k: v["pct"]
+                              for k, v in r["breakdown"].items()},
+            }
+        except Exception as e:              # bench must still print a line
+            prof = {"profile_error": f"{type(e).__name__}: {e}"}
+
     result = {
         "metric": "track4d_eval_frames_per_sec_512pt_8streams",
         "value": round(fps, 2),
@@ -99,6 +143,11 @@ def main():
             "step_ms_per_frame": round(1000.0 * dt / (N_STREAMS * SCAN_T),
                                        3),
             "ref_fps_estimate": REF_FPS_ESTIMATE,
+            "ref_host_floor_note": (
+                "reference host-side work alone measured ~5 ms/frame on "
+                "this machine (sklearn DBSCAN 1.6 + python affinity loops "
+                "3.2), bounding it below ~200 fps regardless of GPU"),
+            **prof,
         },
     }
     print(json.dumps(result))

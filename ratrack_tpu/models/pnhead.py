@@ -24,6 +24,7 @@ from ..ops import (furthest_point_sample, identity_sample, gather,
                    three_interpolate_weights)
 from ..ops import pallas_sa
 from ..ops.pallas_sa import TILE_M, fold_bn_params, fused_sa_scale
+from ..ops.pallas_fp import fused_three_interpolate
 from .layers import PointwiseMLP
 
 
@@ -96,16 +97,27 @@ class FeaturePropagation(nn.Module):
     """Inverse-distance 3-NN feature propagation.
 
     Reference: PointnetFPModule (pointnet2_modules.py:118-158).
+    Eval path (`fused_eval`): the three_nn sort + gather chain runs as one
+    fused min-extraction Pallas kernel (ops/pallas_fp.py).
     """
     mlp: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    fused_eval: bool = True
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
                  unknown_mask=None, train: bool = True):
-        dist, idx = three_nn(unknown_xyz, known_xyz)
-        w = three_interpolate_weights(dist)
-        interp = three_interpolate(known_feats, idx, w)
+        fused = (not train and self.fused_eval
+                 and pallas_sa.fused_available()
+                 and unknown_xyz.shape[0] % TILE_M == 0)
+        if fused:
+            interp = fused_three_interpolate(
+                unknown_xyz, known_xyz, known_feats,
+                compute_dtype=self.dtype).astype(self.dtype)
+        else:
+            dist, idx = three_nn(unknown_xyz, known_xyz)
+            w = three_interpolate_weights(dist)
+            interp = three_interpolate(known_feats, idx, w)
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
         return PointwiseMLP(self.mlp, bn=True, dtype=self.dtype,
@@ -151,10 +163,13 @@ class PNHead(nn.Module):
 
         # reference FP mlps are single layers: [128,128] / [160,128] /
         # [128,128] in torch spec = one Conv(in→128) each.
-        l2 = FeaturePropagation([128], self.dtype, name="fp3")(
-            l2_xyz, l3_xyz, l2, l3, None, train)
-        l1 = FeaturePropagation([128], self.dtype, name="fp2")(
-            l1_xyz, l2_xyz, l1, l2, None, train)
-        l0 = FeaturePropagation([128], self.dtype, name="fp1")(
-            xyz, l1_xyz, None, l1, mask, train)
+        l2 = FeaturePropagation([128], self.dtype, self.fused_eval,
+                                name="fp3")(l2_xyz, l3_xyz, l2, l3, None,
+                                            train)
+        l1 = FeaturePropagation([128], self.dtype, self.fused_eval,
+                                name="fp2")(l1_xyz, l2_xyz, l1, l2, None,
+                                            train)
+        l0 = FeaturePropagation([128], self.dtype, self.fused_eval,
+                                name="fp1")(xyz, l1_xyz, None, l1, mask,
+                                            train)
         return l3_xyz, l0

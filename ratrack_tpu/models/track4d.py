@@ -67,7 +67,8 @@ class Track4D(nn.Module):
     def setup(self):
         self.pn_head = PNHead(self.npoint, self.exact_fps, self.dtype,
                               self.fused_eval)
-        self.fc_layer = FeatureCorrelator(16, (256, 256, 256), self.dtype)
+        self.fc_layer = FeatureCorrelator(16, (256, 256, 256), self.dtype,
+                                          self.fused_eval)
         self.fd_layer = FlowDecoder(self.npoint, self.feat_dim,
                                     self.gru_layers, self.exact_fps,
                                     self.dtype, self.fused_eval)

@@ -1,0 +1,209 @@
+"""Fused cost-volume correlator stage: kNN + gather + MLP + WeightNet sum.
+
+One VMEM-resident Pallas kernel per FeatureCorrelator stage replacing the
+eval-path chain (reference FeatureCorrelator, model_utils.py:166-250):
+
+    _, idx = knn(16, query, points, mask)            # XLA: full sort
+    g      = group(feats, idx); dir = group(xyz,idx)-q   # XLA: row gathers
+    h      = leaky(MLP(concat[f1, g, dir]))          # stage 1 only
+    out    = sum_s WeightNet(dir_s) * h_s            # unnormalized sum
+
+TPU-native formulation: 16 min-extraction passes over the masked distance
+tile (first-occurrence one-hot on ties == top_k's stable lowest-index
+order), exact 0/1-matmul gathers of the hoisted per-point features and
+neighbor positions, compacted (16, TILE_M, C) slot tensors, batched MXU
+MLP/WeightNet layers, and the slot-weighted sum — all in VMEM, no sort,
+no gather.
+
+Stage-1 layer-1 factorization: with W1 = [W_f1; W_f2; W_dir] over the
+concat [f1_i, f2_j, x_j - x_i],
+
+    pre1_ij = (f1 @ W_f1 - x1 @ W_dir)_i + (f2 @ W_f2 + x2 @ W_dir + b1)_j
+            =        addq_i             +            featsp_j
+
+both hoisted as small XLA matmuls; the kernel only combines them per
+selected pair. kNN padding parity with ops.neighborhood.knn: fewer than
+16 valid points -> slots repeat the nearest valid neighbor (its feature
+AND direction, so the duplicate contributions to the weighted sum match);
+no valid point -> index 0 (first-occurrence one-hot over an all-BIG row).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_M = 128
+_BIG = 1e10
+
+
+def _leaky(x):
+    return jnp.where(x > 0.0, x, 0.1 * x)
+
+
+def _corr_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
+                 addq_ref, *refs, k: int, n_mlp: int, compute_dtype,
+                 precision, has_add: bool):
+    """One program: TILE_M query points vs all M candidates."""
+    # refs: n_mlp * (w, b) pair-MLP layers (leaky), then 3 * (w, b)
+    # WeightNet layers (relu), then out_ref and 2 scratch refs.
+    w_refs = refs[:2 * (n_mlp + 3)]
+    out_ref, slots_ref, dirs_ref = refs[2 * (n_mlp + 3):]
+
+    q = q_ref[...]                                     # (TM, 3)
+    sqq = jnp.sum(q * q, axis=1, keepdims=True)
+    xpt = xpt_ref[...]                                 # (3, M)
+    prod = (q[:, 0:1] * xpt[0:1, :] + q[:, 1:2] * xpt[1:2, :]
+            + q[:, 2:3] * xpt[2:3, :])
+    d2 = jnp.maximum(sqq + sqp_ref[...] - 2.0 * prod, 0.0)
+    dm = jnp.where(maskf_ref[...] > 0.0, d2, _BIG)
+    n_pts = dm.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, dm.shape, 1).astype(jnp.float32)
+
+    featsp = featsp_ref[...].astype(compute_dtype)     # (M, C)
+    xp_cols = xpt.T.astype(compute_dtype)              # (M, 3)
+    oh0 = None
+    for s in range(k):
+        m = jnp.min(dm, axis=1, keepdims=True)
+        # lowest index on ties (top_k stable order): second min over iota
+        jmin = jnp.min(jnp.where(dm == m, cols, float(n_pts)), axis=1,
+                       keepdims=True)
+        oh = (cols == jmin).astype(jnp.float32)
+        if s == 0:
+            oh0 = oh
+        else:
+            oh = jnp.where(m >= _BIG, oh0, oh)         # knn repeat-nearest
+        ohc = oh.astype(compute_dtype)
+        slots_ref[s, :, :] = jax.lax.dot(
+            ohc, featsp, preferred_element_type=jnp.float32,
+            precision=precision)
+        dirs_ref[s, :, :] = jax.lax.dot(
+            ohc, xp_cols, preferred_element_type=jnp.float32,
+            precision=precision) - q
+        dm = jnp.where(oh > 0.0, _BIG, dm)
+
+    tm = q.shape[0]
+    h = slots_ref[...]                                 # (k, TM, C)
+    cdim = h.shape[-1]
+    if has_add:
+        # stage 1: finish the factorized layer 1 (leaky activation)
+        h = h + addq_ref[...][None, :, :]
+        h2d = _leaky(h.reshape(k * tm, cdim))
+    else:
+        # stage 2 aggregates the raw grouped features (no activation)
+        h2d = h.reshape(k * tm, cdim)
+    for li in range(n_mlp):
+        w = w_refs[2 * li][...]
+        b = w_refs[2 * li + 1][...]
+        y = jax.lax.dot(h2d.astype(compute_dtype), w.astype(compute_dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+        h2d = _leaky(y + b)
+
+    d2d = dirs_ref[...].reshape(k * tm, 3)
+    for li in range(3):
+        w = w_refs[2 * (n_mlp + li)][...]
+        b = w_refs[2 * (n_mlp + li) + 1][...]
+        y = jax.lax.dot(d2d.astype(compute_dtype), w.astype(compute_dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+        d2d = jax.nn.relu(y + b)
+
+    prod3 = (h2d * d2d).reshape(k, tm, h2d.shape[-1])
+    out_ref[...] = jnp.sum(prod3, axis=0)
+
+
+def fused_knn_weight_aggregate(query_xyz, points_xyz, feats_p, add_q,
+                               mask_p, mlp_ws, mlp_bs, wn_ws, wn_bs, *,
+                               k: int = 16, compute_dtype=jnp.bfloat16,
+                               precision=None,
+                               interpret: bool | None = None):
+    """Fused kNN + pair MLP + WeightNet-weighted sum over one cloud pair.
+
+    Args:
+      query_xyz: (N, 3) query points, N multiple of TILE_M.
+      points_xyz: (M, 3) candidate points.
+      feats_p: (M, C) per-candidate hoisted features (stage 1: layer-1
+        preactivation contribution of f2/x2/b1; stage 2: the cost volume).
+      add_q: optional (N, C) per-query layer-1 contribution (stage 1);
+        None for stage 2.
+      mask_p: optional (M,) bool candidate validity.
+      mlp_ws/mlp_bs: pair-MLP layers AFTER the factorized first layer
+        (leaky ReLU, matching PointwiseMLP(bn=False, act=leaky_relu));
+        empty for stage 2.
+      wn_ws/wn_bs: the 3 WeightNet layers (ReLU after each).
+    Returns:
+      (N, C_out) aggregated features, f32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_knn_weight_aggregate(
+        query_xyz, points_xyz, feats_p, add_q, mask_p, tuple(mlp_ws),
+        tuple(mlp_bs), tuple(wn_ws), tuple(wn_bs), k=k,
+        compute_dtype=compute_dtype, precision=precision,
+        interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "compute_dtype", "precision", "interpret"))
+def _fused_knn_weight_aggregate(query_xyz, points_xyz, feats_p, add_q,
+                                mask_p, mlp_ws, mlp_bs, wn_ws, wn_bs, *,
+                                k, compute_dtype, precision, interpret):
+    n = query_xyz.shape[0]
+    m = points_xyz.shape[0]
+    assert n % TILE_M == 0, n
+    query_xyz = query_xyz.astype(jnp.float32)
+    points_xyz = points_xyz.astype(jnp.float32)
+    xpt = points_xyz.T
+    sqp = jnp.sum(points_xyz * points_xyz, axis=1)[None, :]
+    maskf = (jnp.ones((1, m), jnp.float32) if mask_p is None
+             else mask_p.astype(jnp.float32)[None, :])
+
+    c = feats_p.shape[1]
+    c_out = (mlp_ws[-1].shape[1] if mlp_ws else c)
+    has_add = add_q is not None
+    if not has_add:
+        add_q = jnp.zeros((n, 1), jnp.float32)   # placeholder operand
+
+    layer_ops, layer_specs = [], []
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    for w, b in list(zip(mlp_ws, mlp_bs)) + list(zip(wn_ws, wn_bs)):
+        layer_ops += [w.astype(jnp.float32),
+                      b.astype(jnp.float32)[None, :]]
+        layer_specs += [full(), full()]
+
+    kernel = functools.partial(
+        _corr_kernel, k=k, n_mlp=len(mlp_ws), compute_dtype=compute_dtype,
+        precision=precision, has_add=has_add)
+    addq_spec = (pl.BlockSpec((TILE_M, c), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM) if has_add
+                 else pl.BlockSpec((TILE_M, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // TILE_M,),
+        in_specs=[
+            full(),                                        # xpt
+            full(),                                        # sqp
+            full(),                                        # maskf
+            pl.BlockSpec((TILE_M, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),         # query tile
+            full(),                                        # feats_p
+            addq_spec,                                     # add_q tile
+            *layer_specs,
+        ],
+        out_specs=pl.BlockSpec((TILE_M, c_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((k, TILE_M, c), jnp.float32),       # slot features
+            pltpu.VMEM((k, TILE_M, 3), jnp.float32),       # slot directions
+        ],
+        interpret=interpret,
+    )(xpt, sqp, maskf, query_xyz, feats_p, add_q, *layer_ops)

@@ -1,0 +1,154 @@
+"""Parity tests for the fused FP-interpolation and correlator kernels.
+
+ops/pallas_fp.py must reproduce three_nn + inverse-distance
+three_interpolate (reference interpolate_gpu.cu:81-231 semantics incl.
+the knn padding rules); ops/pallas_correlator.py must reproduce the
+FeatureCorrelator stages (reference model_utils.py:166-250): kNN + gather
++ leaky MLP + WeightNet-weighted (unnormalized) sums. Kernels run through
+the Pallas interpreter on the CPU suite; TPU compiled paths are exercised
+by bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ratrack_tpu.models.correlator import FeatureCorrelator
+from ratrack_tpu.models.pnhead import FeaturePropagation
+from ratrack_tpu.ops import pallas_sa
+from ratrack_tpu.ops.grouping import interpolate_features
+from ratrack_tpu.ops.pallas_fp import fused_three_interpolate
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _fp_case(seed, n=512, m=512, c=128):
+    rng = np.random.RandomState(seed)
+    u = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 5)
+    k = jnp.asarray(rng.randn(m, 3).astype(np.float32) * 5)
+    f = jnp.asarray(rng.randn(m, c).astype(np.float32))
+    return rng, u, k, f
+
+
+class TestFusedThreeInterpolate:
+    def test_parity_no_mask(self):
+        _, u, k, f = _fp_case(0)
+        ref = interpolate_features(u, k, f)
+        got = fused_three_interpolate(u, k, f, compute_dtype=jnp.float32,
+                                      precision=HI, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_parity_with_mask(self):
+        rng, u, k, f = _fp_case(1)
+        mask = jnp.asarray(rng.rand(512) > 0.5)
+        ref = interpolate_features(u, k, f, mask)
+        got = fused_three_interpolate(u, k, f, mask,
+                                      compute_dtype=jnp.float32,
+                                      precision=HI, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_fewer_than_three_valid_repeats_nearest(self):
+        rng, u, k, f = _fp_case(2)
+        mask = jnp.asarray(np.arange(512) < 2)
+        ref = interpolate_features(u, k, f, mask)
+        got = fused_three_interpolate(u, k, f, mask,
+                                      compute_dtype=jnp.float32,
+                                      precision=HI, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_all_invalid_falls_back_to_index_zero(self):
+        _, u, k, f = _fp_case(3)
+        mask = jnp.zeros((512,), bool)
+        ref = interpolate_features(u, k, f, mask)
+        got = fused_three_interpolate(u, k, f, mask,
+                                      compute_dtype=jnp.float32,
+                                      precision=HI, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_feature_propagation_module_fused(self, monkeypatch):
+        monkeypatch.setattr(pallas_sa, "FORCE_FUSED_ON_CPU", True)
+        rng, u, k, f = _fp_case(4, c=64)
+        uf = jnp.asarray(rng.randn(512, 32).astype(np.float32))
+        mod_u = FeaturePropagation([128], jnp.float32, fused_eval=False)
+        mod_f = FeaturePropagation([128], jnp.float32, fused_eval=True)
+        vs = mod_u.init(jax.random.PRNGKey(0), u, k, uf, f, None,
+                        train=False)
+        a = np.asarray(mod_u.apply(vs, u, k, uf, f, None, train=False))
+        b = np.asarray(mod_f.apply(vs, u, k, uf, f, None, train=False))
+        np.testing.assert_allclose(b, a, atol=5e-3, rtol=5e-3)
+
+
+class TestFusedCorrelator:
+    def _case(self, seed, n=512):
+        rng = np.random.RandomState(seed)
+        pc1 = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 5)
+        pc2 = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 5)
+        f1 = jnp.asarray(rng.randn(n, 256).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(n, 256).astype(np.float32))
+        return rng, pc1, pc2, f1, f2
+
+    def _modules(self):
+        return (FeatureCorrelator(16, (256, 256, 256), jnp.float32, False),
+                FeatureCorrelator(16, (256, 256, 256), jnp.float32, True))
+
+    def test_parity(self, monkeypatch):
+        monkeypatch.setattr(pallas_sa, "FORCE_FUSED_ON_CPU", True)
+        rng, pc1, pc2, f1, f2 = self._case(0)
+        m1 = jnp.asarray(np.arange(512) < 400)
+        m2 = jnp.asarray(np.arange(512) < 350)
+        mod_u, mod_f = self._modules()
+        vs = mod_u.init(jax.random.PRNGKey(0), pc1, pc2, f1, f2, m1, m2,
+                        train=False)
+        a = np.asarray(mod_u.apply(vs, pc1, pc2, f1, f2, m1, m2,
+                                   train=False))
+        b = np.asarray(mod_f.apply(vs, pc1, pc2, f1, f2, m1, m2,
+                                   train=False))
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5)
+
+    def test_parity_few_valid(self, monkeypatch):
+        # < nsample valid candidates: the kNN repeat-nearest padding
+        # contributes duplicate terms to the weighted SUM (not max), so
+        # the fallback must duplicate feature AND direction exactly
+        monkeypatch.setattr(pallas_sa, "FORCE_FUSED_ON_CPU", True)
+        rng, pc1, pc2, f1, f2 = self._case(1)
+        m1 = jnp.asarray(np.arange(512) < 400)
+        m2 = jnp.asarray(np.arange(512) < 5)
+        mod_u, mod_f = self._modules()
+        vs = mod_u.init(jax.random.PRNGKey(0), pc1, pc2, f1, f2, m1, m2,
+                        train=False)
+        a = np.asarray(mod_u.apply(vs, pc1, pc2, f1, f2, m1, m2,
+                                   train=False))
+        b = np.asarray(mod_f.apply(vs, pc1, pc2, f1, f2, m1, m2,
+                                   train=False))
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5)
+
+    def test_param_tree_identical(self, monkeypatch):
+        monkeypatch.setattr(pallas_sa, "FORCE_FUSED_ON_CPU", True)
+        _, pc1, pc2, f1, f2 = self._case(2)
+        mod_u, mod_f = self._modules()
+        vs_u = mod_u.init(jax.random.PRNGKey(0), pc1, pc2, f1, f2,
+                          train=False)
+        vs_f = mod_f.init(jax.random.PRNGKey(0), pc1, pc2, f1, f2,
+                          train=False)
+        assert (jax.tree_util.tree_map(jnp.shape, vs_u)
+                == jax.tree_util.tree_map(jnp.shape, vs_f))
+        for a, b in zip(jax.tree_util.tree_leaves(vs_u["params"]),
+                        jax.tree_util.tree_leaves(vs_f["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_path_unchanged_by_flag(self):
+        # train=True must never take the fused branch regardless of flag
+        _, pc1, pc2, f1, f2 = self._case(3)
+        mod_u, mod_f = self._modules()
+        vs = mod_u.init(jax.random.PRNGKey(0), pc1, pc2, f1, f2,
+                        train=True)
+        a = np.asarray(mod_u.apply(vs, pc1, pc2, f1, f2, train=True))
+        b = np.asarray(mod_f.apply(vs, pc1, pc2, f1, f2, train=True))
+        np.testing.assert_array_equal(a, b)

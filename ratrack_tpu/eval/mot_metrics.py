@@ -84,8 +84,47 @@ def _build_cache(gt_frames: Sequence[GTFrame],
     return caches
 
 
+def _match_frame(cache: _FrameCache, keep, method: str):
+    """Per-frame GT↔pred matching among above-threshold pairs.
+
+    "greedy": descending-IoU greedy (the default interpretation);
+    "hungarian": maximum-total-IoU assignment — what AB3DMOT's own
+    data_association uses (src/AB3DMOT_libs/matching.py:51-113, the vod
+    preset `model.py:82-84` selects 'hungarian'). Both operate on the
+    same candidate pairs (IoU >= iou_thres); see PARITY.md "MOT protocol
+    interpretation" for the deviation discussion.
+    """
+    pairs = [(iou, g, i) for iou, g, i in cache.pairs if keep[i]]
+    if method == "greedy":
+        used_g, used_p = set(), set()
+        matches = []
+        for iou, g, i in pairs:
+            if g in used_g or i in used_p:
+                continue
+            used_g.add(g)
+            used_p.add(i)
+            matches.append((g, i, iou))
+        return matches
+    if method != "hungarian":
+        raise ValueError(method)
+    if not pairs:
+        return []
+    from scipy.optimize import linear_sum_assignment
+    gs = sorted({g for _, g, _ in pairs})
+    ps = sorted({i for _, _, i in pairs})
+    gi = {g: a for a, g in enumerate(gs)}
+    pi = {p: a for a, p in enumerate(ps)}
+    cost = np.zeros((len(gs), len(ps)))
+    for iou, g, i in pairs:
+        cost[gi[g], pi[i]] = max(cost[gi[g], pi[i]], iou)
+    rows, cols = linear_sum_assignment(-cost)
+    return [(gs[r], ps[c], cost[r, c])
+            for r, c in zip(rows, cols) if cost[r, c] > 0.0]
+
+
 def _clear_mot_cached(caches: Sequence[_FrameCache],
-                      conf_thres: float = -np.inf) -> Dict[str, float]:
+                      conf_thres: float = -np.inf,
+                      match: str = "greedy") -> Dict[str, float]:
     tp = fp = fn = idsw = 0
     iou_sum = 0.0
     last_match: Dict[int, int] = {}            # gt id → last matched track
@@ -98,14 +137,7 @@ def _clear_mot_cached(caches: Sequence[_FrameCache],
         n_gt += len(c.gt_ids)
         for g in c.gt_ids:
             gt_total[g] += 1
-        used_g, used_p = set(), set()
-        matches = []
-        for iou, g, i in c.pairs:
-            if not keep[i] or g in used_g or i in used_p:
-                continue
-            used_g.add(g)
-            used_p.add(i)
-            matches.append((g, i, iou))
+        matches = _match_frame(c, keep, match)
         tp += len(matches)
         fp += n_kept - len(matches)
         fn += len(c.gt_ids) - len(matches)
@@ -132,18 +164,20 @@ def _clear_mot_cached(caches: Sequence[_FrameCache],
 
 def clear_mot(gt_frames: Sequence[GTFrame], pred_frames: Sequence[PredFrame],
               iou_thres: float = 0.25,
-              conf_thres: float = -np.inf) -> Dict[str, float]:
+              conf_thres: float = -np.inf,
+              match: str = "greedy") -> Dict[str, float]:
     """CLEAR-MOT over a sequence (predictions below conf_thres dropped)."""
     assert len(gt_frames) == len(pred_frames)
     return _clear_mot_cached(_build_cache(gt_frames, pred_frames,
-                                          iou_thres), conf_thres)
+                                          iou_thres), conf_thres, match)
 
 
 def integrated_mot(gt_frames: Sequence[GTFrame],
                    pred_frames: Sequence[PredFrame],
                    iou_thres: float = 0.25,
                    n_recall: int = 40,
-                   max_thresholds: int = 256) -> Dict[str, float]:
+                   max_thresholds: int = 256,
+                   match: str = "greedy") -> Dict[str, float]:
     """AMOTA / AMOTP / sAMOTA by sweeping recall (AB3DMOT protocol).
 
     For each target recall r in {1/n, …, 1}, pick the confidence threshold
@@ -161,7 +195,7 @@ def integrated_mot(gt_frames: Sequence[GTFrame],
                    reverse=True)
     if not confs:
         return {"samota": 0.0, "amota": 0.0, "amotp": 0.0,
-                **_clear_mot_cached(caches)}
+                **_clear_mot_cached(caches, match=match)}
     if len(confs) > max_thresholds:
         pick = np.unique(np.linspace(0, len(confs) - 1,
                                      max_thresholds).astype(int))
@@ -169,7 +203,7 @@ def integrated_mot(gt_frames: Sequence[GTFrame],
 
     ops = []
     for c in confs:
-        ops.append((c, _clear_mot_cached(caches, c)))
+        ops.append((c, _clear_mot_cached(caches, c, match)))
 
     amota = amotp = samota = 0.0
     targets = [(i + 1) / n_recall for i in range(n_recall)]
@@ -187,6 +221,6 @@ def integrated_mot(gt_frames: Sequence[GTFrame],
         smota = 1.0 - (best["fp"] + best["fn"] + best["idsw"]
                        - (1.0 - r) * n_gt) / max(r * n_gt, 1e-9)
         samota += float(np.clip(smota, 0.0, 1.0))
-    base = _clear_mot_cached(caches)
+    base = _clear_mot_cached(caches, match=match)
     return {"samota": samota / n_recall, "amota": amota / n_recall,
             "amotp": amotp / n_recall, **base}

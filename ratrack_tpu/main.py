@@ -295,6 +295,18 @@ def run_eval_epoch_scan(cfg, model, ts, stream, log: Tee,
                     np.asarray(rec.pc1))
                 write_frame_results(results_dir, clip,
                                     int(rec.frame_number), text)
+            if cfg.vis_dir:
+                # post-hoc BEV render per flushed chunk: the scan already
+                # returns labels/ids/warp, so vis no longer forces the
+                # slow per-frame path (flow = warp - pc1)
+                from .utils.vis import plot_frame_bev
+                fn = int(rec.frame_number)
+                pc1 = np.asarray(rec.pc1)
+                plot_frame_bev(
+                    os.path.join(cfg.vis_dir, clip, f"{fn:05d}.png"),
+                    pc1, valid, o["cls"], o["labels"], o["track_id"],
+                    o["warp"] - pc1, cfg.mov_thres,
+                    title=f"{clip} frame {fn}")
             count += 1
         return tstate
 
@@ -399,7 +411,7 @@ def _run(cfg, log, models_dir, exp_dir):
             import shutil
             shutil.rmtree(cfg.results_dir)
             log.print(f"cleared previous results at {cfg.results_dir}")
-        if cfg.scan_frames > 0 and not cfg.vis_dir:
+        if cfg.scan_frames > 0:
             run_eval_epoch_scan(cfg, model, ts, stream, log,
                                 results_dir=cfg.results_dir)
         else:

@@ -68,3 +68,19 @@ def test_vod_train_then_eval_cli(tmp_path):
                             "run.log")).read()
     assert "SAMOTA" in log
     assert "FINISH" in log
+
+    # vis on the SCAN path: vis_dir no longer forces the per-frame path
+    # (the scan outputs carry labels/ids/warp; BEV renders post-hoc)
+    vis_cfg = dict(eval_cfg, scan_frames=4,
+                   vis_dir=str(tmp_path / "vis"),
+                   results_dir=str(tmp_path / "results_vis"))
+    vis_path = str(tmp_path / "eval_vis.yaml")
+    yaml.safe_dump(vis_cfg, open(vis_path, "w"))
+    main(["--config", vis_path, "--cpu"])
+    vis_clip = os.path.join(vis_cfg["vis_dir"], "delft_10")
+    assert os.path.isdir(vis_clip)
+    pngs = [f for f in os.listdir(vis_clip) if f.endswith(".png")]
+    assert len(pngs) == 5
+    log = open(os.path.join(common["checkpoints_dir"], "e2e",
+                            "run.log")).read()
+    assert "[eval/scan]" in log     # the scan path actually ran

@@ -62,7 +62,7 @@ def main():
     from ratrack_tpu.tracker import init_state
     from ratrack_tpu.data.synthetic import synthetic_clip, stack_frames
     from ratrack_tpu.data.frames import FrameBatch
-    from ratrack_tpu.train.step import make_scan_eval_step
+    from ratrack_tpu.train.step import make_scan_eval_step_cached
 
     model = Track4D(npoint=N_MAX, k_max=K_MAX, sinkhorn_iters=500)
 
@@ -85,7 +85,11 @@ def main():
     tstates = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (N_STREAMS,) + x.shape), state0)
 
-    scan_eval = make_scan_eval_step(model)
+    # cached-backbone scan: carries the pc2 PNHead features across
+    # frames (pc2[t] == pc1[t-1] on contiguous streams; bit-identical to
+    # the plain scan — tests/test_equivalences.py). The eval driver gates
+    # this per chunk on frame-number contiguity (main.py).
+    scan_eval = make_scan_eval_step_cached(model)
 
     t0 = time.time()
     out = scan_eval(variables, tstates, frames)
@@ -139,6 +143,7 @@ def main():
             "scan_T": SCAN_T,
             "n_max": N_MAX,
             "sinkhorn_iters": 500,
+            "backbone_cache": True,
             "compile_s": round(compile_s, 1),
             "step_ms_per_frame": round(1000.0 * dt / (N_STREAMS * SCAN_T),
                                        3),

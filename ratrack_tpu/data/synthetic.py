@@ -39,6 +39,22 @@ def synthetic_clip(seed: int, n_frames: int, n_max: int = 512,
             + [np.full(n_static, -1, np.int32)])
         return pts, obj_id
 
+    def feats_at(t, pts):
+        """Per-FRAME [RCS, v_r]: each scan owns its features, so records
+        chain like the real pipeline (ft2 of pair t == ft1 of pair t-1;
+        radar files carry per-scan RCS/v_r, data/pipeline.py:140-141)."""
+        rng_t = np.random.RandomState(seed * 100003 + t)
+        n = pts.shape[0]
+        ft = np.zeros((n_max, 2), np.float32)
+        ft[:n] = rng_t.randn(n, 2).astype(np.float32) * 0.1
+        # radial velocity feature ~ projection of velocity on line of sight
+        for i in range(n_objects):
+            sl = slice(i * pts_per_obj, (i + 1) * pts_per_obj)
+            p = pts[sl]
+            los = p / (np.linalg.norm(p, axis=1, keepdims=True) + 1e-6)
+            ft[sl, 1] = np.sum(los * vels[i], axis=1)
+        return ft
+
     frames = []
     for t in range(n_frames):
         pc1_raw, oid1 = cloud_at(t + 1)   # "pc1" is the later frame t+1
@@ -52,14 +68,8 @@ def synthetic_clip(seed: int, n_frames: int, n_max: int = 512,
         pc2[:n] = pc2_raw
         mask = np.zeros(n_max, bool)
         mask[:n] = True
-        ft = np.zeros((n_max, 2), np.float32)
-        ft[:n] = rng.randn(n, 2).astype(np.float32) * 0.1
-        # radial velocity feature ~ projection of velocity on line of sight
-        for i in range(n_objects):
-            sl = slice(i * pts_per_obj, (i + 1) * pts_per_obj)
-            los = pc1[sl] / (np.linalg.norm(pc1[sl], axis=1, keepdims=True)
-                             + 1e-6)
-            ft[sl, 1] = np.sum(los * vels[i], axis=1)
+        ft = feats_at(t + 1, pc1_raw)
+        ft2 = feats_at(t, pc2_raw)
 
         gt_dense = np.full(n_max, -1, np.int32)
         gt_dense[:n] = oid1
@@ -78,7 +88,7 @@ def synthetic_clip(seed: int, n_frames: int, n_max: int = 512,
         gt_valid = np.zeros(g_max, bool)
         gt_valid[:n_objects] = True
 
-        f.update(pc1=pc1, pc2=pc2, ft1=ft, ft2=ft.copy(), mask1=mask,
+        f.update(pc1=pc1, pc2=pc2, ft1=ft, ft2=ft2, mask1=mask,
                  mask2=mask.copy(), pc1_comp=pc1.copy(), gt_cls=gt_cls,
                  gt_flow=gt_flow, gt_dense=gt_dense, gt_label_ids=gt_ids,
                  gt_valid=gt_valid, new_seq=np.asarray(t == 0),

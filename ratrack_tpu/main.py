@@ -252,11 +252,15 @@ def run_eval_epoch_scan(cfg, model, ts, stream, log: Tee,
     from .data.frames import FrameBatch
     from .data.pipeline import Prefetcher
     from .tracker.state import init_state
-    from .train.step import make_scan_eval_step
+    from .train.step import (make_scan_eval_step,
+                             make_scan_eval_step_cached, chain_contiguous)
     from .train.metrics import eval_scene_flow, eval_motion_seg
     from .eval.export import format_frame_results, write_frame_results
 
     scan_eval = make_scan_eval_step(model)
+    # fast path: carries the pc2 backbone across frames (bit-identical
+    # when the chunk's frame numbers are consecutive — gated per chunk)
+    scan_eval_cached = make_scan_eval_step_cached(model)
     t = max(1, cfg.scan_frames)
     variables = {"params": ts.params, "batch_stats": ts.batch_stats}
     tstate = jax.tree_util.tree_map(
@@ -270,11 +274,17 @@ def run_eval_epoch_scan(cfg, model, ts, stream, log: Tee,
     def flush(clip, chunk, tstate):
         nonlocal count
         real = len(chunk)
+        # gate on REAL records only: padded repeats produce discarded
+        # outputs and the next clip's new_seq resets the polluted state
+        contiguous = chain_contiguous(
+            [int(r.frame_number) for r in chunk[:real]],
+            [bool(r.new_seq) for r in chunk[:real]])
         chunk = chunk + [chunk[-1]] * (t - real)        # tail repeat-pad
         block = FrameBatch(*[jnp.asarray(
             np.stack([np.asarray(getattr(r, f)) for r in chunk])[None])
             for f in FrameBatch._fields])
-        tstate, outs = scan_eval(variables, tstate, block)
+        step_fn = scan_eval_cached if contiguous else scan_eval
+        tstate, outs = step_fn(variables, tstate, block)
         outs = {k: np.asarray(v[0]) for k, v in outs.items()}
         for i in range(real):
             rec = chunk[i]

@@ -84,19 +84,36 @@ class Track4D(nn.Module):
     # the pipelined eval path) and the serial carries (GRU via gru_stage,
     # ID assignment via tracker.association.assign_ids).
 
-    def frame_stage(self, frame: FrameBatch, train: bool = True):
-        """Everything before the GRU: (cls (N,), prop (N,128),
-        gfeat_in (128,)). Reference track4d.py:67-106 minus the GRU."""
-        pc1, pc2 = frame.pc1, frame.pc2
+    def head_stage(self, pc: jnp.ndarray, ft: jnp.ndarray,
+                   mask: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        """ONE cloud through the PNHead backbone → (N, 128) local features.
+
+        In eval mode (frozen BN) this is a pure function of (params,
+        cloud): frame t's pc2 is frame t-1's pc1 whenever the stream is
+        contiguous, so scan drivers carry this result forward instead of
+        recomputing it (make_scan_eval_step_cached) — the reference
+        recomputes PNHead(pc2) every frame (track4d.py:102-106)."""
+        _, f = self.pn_head(pc, ft, mask, train)
+        return f
+
+    def _frame_stage_from_heads(self, frame: FrameBatch, f1: jnp.ndarray,
+                                f2: jnp.ndarray, train: bool):
+        """Cost volume + decoder pre-GRU given both clouds' head features."""
         m1, m2 = frame.mask1, frame.mask2
-        _, f1 = self.pn_head(pc1, frame.ft1, m1, train)
-        _, f2 = self.pn_head(pc2, frame.ft2, m2, train)
         g1 = jnp.broadcast_to(_masked_max(f1, m1), f1.shape)
         g2 = jnp.broadcast_to(_masked_max(f2, m2), f2.shape)
         f1 = jnp.concatenate([f1, g1], axis=-1)   # (N, 256) local‖global
         f2 = jnp.concatenate([f2, g2], axis=-1)
-        cor = self.fc_layer(pc1, pc2, f1, f2, m1, m2, train)
-        return self.fd_layer.pre_gru(pc1, frame.ft1, f1, cor, m1, train)
+        cor = self.fc_layer(frame.pc1, frame.pc2, f1, f2, m1, m2, train)
+        return self.fd_layer.pre_gru(frame.pc1, frame.ft1, f1, cor, m1,
+                                     train)
+
+    def frame_stage(self, frame: FrameBatch, train: bool = True):
+        """Everything before the GRU: (cls (N,), prop (N,128),
+        gfeat_in (128,)). Reference track4d.py:67-106 minus the GRU."""
+        f1 = self.head_stage(frame.pc1, frame.ft1, frame.mask1, train)
+        f2 = self.head_stage(frame.pc2, frame.ft2, frame.mask2, train)
+        return self._frame_stage_from_heads(frame, f1, f2, train)
 
     def gru_stage(self, gfeat_in: jnp.ndarray, h: jnp.ndarray):
         """One GRU step (the decoder's sole temporal dependency)."""
@@ -143,12 +160,34 @@ class Track4D(nn.Module):
     def __call__(self, frame: FrameBatch, state: TrackState,
                  train: bool = True) -> Tuple[Dict[str, jnp.ndarray],
                                               TrackState]:
+        f1 = self.head_stage(frame.pc1, frame.ft1, frame.mask1, train)
+        f2 = self.head_stage(frame.pc2, frame.ft2, frame.mask2, train)
+        return self._step_from_heads(frame, state, f1, f2, train)
+
+    def step_cached(self, frame: FrameBatch, state: TrackState,
+                    f2_local: jnp.ndarray, train: bool = False):
+        """Full step with the pc2 head carried from the previous frame.
+
+        Eval-only: valid when pc2 is bit-identical to the previous frame's
+        pc1 (contiguous stream, frozen BN). Returns (outputs, new_state,
+        f1_local) so the caller can carry f1 forward as the next f2.
+        Under training semantics the reference recomputes PNHead(pc2)
+        with CURRENT (per-frame-updated) params, so caching would be
+        stale — drivers only use this in eval."""
+        f1 = self.head_stage(frame.pc1, frame.ft1, frame.mask1, train)
+        out, new_state = self._step_from_heads(frame, state, f1, f2_local,
+                                               train)
+        return out, new_state, f1
+
+    def _step_from_heads(self, frame: FrameBatch, state: TrackState,
+                         f1: jnp.ndarray, f2: jnp.ndarray, train: bool):
         # sequence-boundary reset (main_utils.py:70-74); next_id carries on
         state = reset_where(frame.new_seq, state,
                             init_state(self.k_max, self.gru_layers,
                                        self.feat_dim))
 
-        cls, prop, gfeat_in = self.frame_stage(frame, train)
+        cls, prop, gfeat_in = self._frame_stage_from_heads(frame, f1, f2,
+                                                           train)
         gfeat_out, h_new = self.gru_stage(gfeat_in, state.h)
         o = self.output_stage(frame, cls, prop, gfeat_out, state.frame_idx,
                               train)

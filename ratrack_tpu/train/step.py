@@ -337,3 +337,61 @@ def make_scan_eval_step(model):
         return jax.vmap(one_clip)(track_state, frames_t)
 
     return scan_eval
+
+
+def chain_contiguous(frame_numbers, new_seq) -> bool:
+    """Host-side gate for the cached-backbone scan path.
+
+    True iff, within the block, each frame's pc2 is the previous frame's
+    pc1: frame numbers strictly consecutive (a skipped frame breaks the
+    pair chain without raising new_seq — data/pipeline.py logs-and-
+    continues) and no mid-block sequence reset (blocks flushed per clip
+    never have one; this guards other callers). new_seq at index 0 is
+    fine — the block-entry pc2 head is always computed fresh.
+    """
+    import numpy as np
+    fno = np.asarray(frame_numbers)
+    ns = np.asarray(new_seq)
+    return bool(np.all(np.diff(fno) == 1) and not np.any(ns[1:]))
+
+
+def make_scan_eval_step_cached(model):
+    """Scan eval that carries the pc2 backbone features across frames.
+
+    Frame t's pc2 IS frame t-1's pc1 in a contiguous stream, and in eval
+    mode (frozen BN) the PNHead is a pure function of the cloud — so the
+    per-frame step recomputing PNHead(pc2) (reference track4d.py:102-106)
+    does redundant work: ~1/3 of the SA kernels and half the FP chain.
+    This step computes the pc2 head ONCE at block entry and scans with
+    the previous frame's f1 as the next frame's f2 — bit-identical to
+    `make_scan_eval_step` whenever `chain_contiguous` holds (tested).
+
+    Tail repeat-padding is safe: padded frames' cached f2 is wrong, but
+    their outputs are discarded by the driver and the polluted track
+    state is reset by the next clip's new_seq — exactly the existing
+    contract of run_eval_epoch_scan.
+    """
+    from ..models.track4d import Track4D
+
+    @jax.jit
+    def scan_eval(variables, track_state: TrackState, frames_t):
+        def one_clip(tstate, frames):
+            frame0 = jax.tree_util.tree_map(lambda x: x[0], frames)
+            f2_0 = model.apply(variables, frame0.pc2, frame0.ft2,
+                               frame0.mask2, False,
+                               method=Track4D.head_stage)
+
+            def body(carry, frame):
+                tstate, f2 = carry
+                out, new_t, f1 = model.apply(
+                    variables, frame, tstate, f2, train=False,
+                    method=Track4D.step_cached)
+                keep = {k: out[k] for k in
+                        ("cls", "warp", "labels", "track_id", "conf", "n")}
+                return (new_t, f1), keep
+
+            (new_t, _), outs = jax.lax.scan(body, (tstate, f2_0), frames)
+            return new_t, outs
+        return jax.vmap(one_clip)(track_state, frames_t)
+
+    return scan_eval

@@ -1,0 +1,239 @@
+"""Online serving: a stateful multi-stream radar tracking service.
+
+Production deployment surface for the flagship model. The reference has
+no serving path at all — its eval loop (`src/main.py:40-57` +
+`src/main_utils.py:44-258`) is an offline file-driven script. This module
+exposes the tracker as a long-lived service:
+
+  * N independent input streams (vehicles / sensors), each carrying its
+    own recurrent state (GRU h, track slots, id counter);
+  * `submit(stream, scan)` stages one raw radar scan; `step()` runs ONE
+    jitted vmapped device dispatch for every staged stream — concurrent
+    streams ride the same XLA program (throughput mode);
+  * `track(stream, scan)` = submit + step for single-stream low latency;
+  * raw scans in, tracks out: padding, masking and frame pairing happen
+    here; no GT, no files, no host round-trips inside the step.
+
+Design notes:
+  * the per-stream previous scan is paired host-side (pc1 = new scan,
+    pc2 = previous — the reference's (t+1, t) order, track_vod_3d.py:
+    80-84); the first scan of a stream returns None (no pair yet).
+  * ego-motion compensation is NOT needed by the network: the model
+    consumes only (pc1, pc2, ft1, ft2, masks) — `pc1_comp` feeds GT
+    construction/metrics, which serving has none of.
+  * streams that have nothing staged are masked inactive for the
+    dispatch: their TrackState passes through UNCHANGED (select inside
+    the jit), so irregular producers can't corrupt each other.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, NamedTuple, Optional
+
+import numpy as np
+
+from .data.frames import FrameBatch, empty_frame
+from .tracker.state import TrackState, init_state
+
+
+class TrackOutput(NamedTuple):
+    """Per-frame tracking result for one stream (host numpy)."""
+    labels: np.ndarray        # (N,) per-point cluster slot, -1 noise/static
+    point_track_id: np.ndarray  # (N,) persistent track id per point, -1
+    track_id: np.ndarray      # (K,) persistent id per object slot, -1
+    conf: np.ndarray          # (K,) association confidence per slot
+    moving: np.ndarray        # (N,) bool moving-point mask
+    flow: np.ndarray          # (N, 3) scene flow per point
+    n_points: int             # valid points in the padded cloud
+    n_objects: int            # live object slots
+
+
+class RadarTracker:
+    """Multi-stream online tracker over a jitted vmapped Track4D step.
+
+    Thread-safe staging; one device dispatch per `step()` covering all
+    staged streams.
+    """
+
+    def __init__(self, model, variables, n_max: int = 512,
+                 max_streams: int = 8):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.n_max = n_max
+        self.k_max = model.k_max
+        self.max_streams = max_streams
+        self._lock = threading.Lock()
+        self._variables = variables
+
+        state0 = init_state(model.k_max, model.gru_layers, model.feat_dim)
+        self._states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (max_streams,) + x.shape).copy(),
+            state0)
+        self._open: List[bool] = [False] * max_streams
+        self._prev: List[Optional[np.ndarray]] = [None] * max_streams
+        self._staged: List[Optional[np.ndarray]] = [None] * max_streams
+        self._fresh: List[bool] = [False] * max_streams   # new_seq pending
+
+        def batched_step(variables, states, frames, active):
+            def one(frame, state):
+                return model.apply(variables, frame, state, train=False)
+            outs, new_states = jax.vmap(one)(frames, states)
+            # inactive streams keep their state byte-for-byte
+            kept = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    active.reshape((-1,) + (1,) * (new.ndim - 1)),
+                    new, old),
+                new_states, states)
+            return outs, kept
+
+        self._step = jax.jit(batched_step)
+        self._empty = empty_frame(n_max, model.k_max)
+
+    @classmethod
+    def from_checkpoint(cls, cfg, ckpt_root: str, name: str = "last", **kw):
+        """Restore a trained TrainState (orbax tree) and serve it."""
+        from .models.track4d import model_from_config
+        from .train.checkpoint import restore_train_state
+        from .train.step import create_train_state
+        model = model_from_config(cfg)
+        template = create_train_state(
+            model, cfg, empty_frame(cfg.n_max, cfg.g_max),
+            init_state(cfg.k_max, cfg.gru_layers, cfg.feat_dim),
+            steps_per_epoch=1)
+        ts = restore_train_state(ckpt_root, name, template)
+        variables = {"params": ts.params, "batch_stats": ts.batch_stats}
+        return cls(model, variables, n_max=cfg.n_max, **kw)
+
+    # -- stream lifecycle --------------------------------------------------
+    def open_stream(self) -> int:
+        """Allocate a stream slot; the next pair on it resets state."""
+        with self._lock:
+            for sid in range(self.max_streams):
+                if not self._open[sid]:
+                    self._open[sid] = True
+                    self._prev[sid] = None
+                    self._staged[sid] = None
+                    self._fresh[sid] = True
+                    return sid
+        raise RuntimeError(f"all {self.max_streams} stream slots busy")
+
+    def close_stream(self, sid: int) -> None:
+        with self._lock:
+            self._check(sid)
+            self._open[sid] = False
+            self._prev[sid] = None
+            self._staged[sid] = None
+
+    def _check(self, sid: int) -> None:
+        if not (0 <= sid < self.max_streams and self._open[sid]):
+            raise KeyError(f"stream {sid} is not open")
+
+    # -- data path ----------------------------------------------------------
+    def _pad_scan(self, scan: np.ndarray):
+        """(M, >=5) raw scan [x y z RCS v_r ...] → padded (pc, ft, mask).
+        Over-budget scans keep the first n_max points (deterministic)."""
+        scan = np.asarray(scan, np.float32)
+        if scan.ndim != 2 or scan.shape[1] < 5:
+            raise ValueError(
+                f"scan must be (M, >=5) [x y z RCS v_r ...]; got "
+                f"{scan.shape}")
+        m = min(scan.shape[0], self.n_max)
+        pc = np.zeros((self.n_max, 3), np.float32)
+        ft = np.zeros((self.n_max, 2), np.float32)
+        mask = np.zeros((self.n_max,), bool)
+        pc[:m] = scan[:m, :3]
+        ft[:m] = scan[:m, 3:5]
+        mask[:m] = True
+        return pc, ft, mask
+
+    def submit(self, sid: int, scan: np.ndarray) -> bool:
+        """Stage one scan on a stream. Returns True when a frame pair is
+        ready for the next step() (False for the stream's first scan)."""
+        with self._lock:
+            self._check(sid)
+            if self._staged[sid] is not None:
+                raise RuntimeError(
+                    f"stream {sid} already has a staged scan; call step()")
+            scan = np.asarray(scan, np.float32)
+            if scan.ndim != 2 or scan.shape[1] < 5:
+                raise ValueError(
+                    f"scan must be (M, >=5) [x y z RCS v_r ...]; got "
+                    f"{scan.shape}")
+            if self._prev[sid] is None:
+                self._prev[sid] = scan
+                return False
+            self._staged[sid] = scan
+            return True
+
+    def step(self) -> Dict[int, TrackOutput]:
+        """One device dispatch over every stream with a staged pair."""
+        import jax
+        import jax.numpy as jnp
+
+        with self._lock:
+            staged = [(sid, self._staged[sid])
+                      for sid in range(self.max_streams)
+                      if self._staged[sid] is not None]
+            if not staged:
+                return {}
+            fields = {f: [] for f in FrameBatch._fields}
+            active = np.zeros((self.max_streams,), bool)
+            for sid in range(self.max_streams):
+                rec = self._empty._asdict().copy()
+                if self._staged[sid] is not None:
+                    pc1, ft1, m1 = self._pad_scan(self._staged[sid])
+                    pc2, ft2, m2 = self._pad_scan(self._prev[sid])
+                    rec.update(pc1=pc1, ft1=ft1, mask1=m1,
+                               pc2=pc2, ft2=ft2, mask2=m2,
+                               new_seq=np.asarray(self._fresh[sid]))
+                    active[sid] = True
+                for f in FrameBatch._fields:
+                    fields[f].append(np.asarray(rec[f]))
+            frames = FrameBatch(**{f: jnp.asarray(np.stack(v))
+                                   for f, v in fields.items()})
+            outs, self._states = self._step(
+                self._variables, self._states, frames,
+                jnp.asarray(active))
+
+            results: Dict[int, TrackOutput] = {}
+            host = {k: np.asarray(v) for k, v in outs.items()
+                    if k in ("labels", "track_id", "conf", "cls", "warp")}
+            for sid, scan in staged:
+                labels = host["labels"][sid]
+                tid = host["track_id"][sid]
+                pt_tid = np.where(labels >= 0,
+                                  tid[np.clip(labels, 0, self.k_max - 1)],
+                                  -1)
+                n_pts = int(min(np.asarray(scan).shape[0], self.n_max))
+                pc1 = np.zeros((self.n_max, 3), np.float32)
+                pc1[:n_pts] = np.asarray(scan, np.float32)[:n_pts, :3]
+                results[sid] = TrackOutput(
+                    labels=labels,
+                    point_track_id=pt_tid.astype(np.int32),
+                    track_id=tid,
+                    conf=host["conf"][sid],
+                    moving=(host["cls"][sid] > self.model.mov_thres)
+                    & (np.arange(self.n_max) < n_pts),
+                    flow=host["warp"][sid] - pc1,
+                    n_points=n_pts,
+                    n_objects=int(np.sum(tid >= 0)),
+                )
+                self._prev[sid] = self._staged[sid]
+                self._staged[sid] = None
+                self._fresh[sid] = False
+            return results
+
+    def track(self, sid: int, scan: np.ndarray) -> Optional[TrackOutput]:
+        """Low-latency single-stream convenience: submit + step.
+
+        Returns None for the stream's first scan (no pair yet). NOTE:
+        step() drains EVERY staged stream — in a multi-producer setup use
+        a coordinator that calls submit() for all producers then one
+        step(), rather than concurrent track() calls (results for streams
+        staged by other callers would be returned here, not to them)."""
+        if not self.submit(sid, scan):
+            return None
+        return self.step()[sid]

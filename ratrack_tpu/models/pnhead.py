@@ -19,7 +19,8 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import (furthest_point_sample, identity_sample, gather,
+from ..ops import (furthest_point_sample, identity_sample,
+                   identity_gather, gather,
                    query_and_group, three_nn, three_interpolate,
                    three_interpolate_weights)
 from ..ops import pallas_sa
@@ -57,10 +58,12 @@ class SetAbstractionMSG(nn.Module):
         new_feats (npoint, sum(mlp[-1]))."""
         n = xyz.shape[0]
         if self.npoint == n and not self.exact_fps:
-            idx = identity_sample(n, self.npoint, mask)
+            # identity indices: the gather is a row select (bit-identical
+            # to gather(xyz, identity_sample(...)), ~10x cheaper on TPU)
+            new_xyz = identity_gather(xyz, mask)
         else:
             idx = furthest_point_sample(xyz, self.npoint, mask)
-        new_xyz = gather(xyz, idx)
+            new_xyz = gather(xyz, idx)
 
         c_in = 3 + (features.shape[-1] if features is not None else 0)
         fused = (not train and self.fused_eval and pallas_sa.fused_available()

@@ -38,8 +38,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_M = 128
+TILE_M = 128      # query-tile granularity (gating: N % TILE_M == 0)
+MAX_TILE_M = 256  # preferred tile (512 exceeds the 16M scoped-vmem limit)
 _BIG = 1e10
+
+
+def _pick_tile(n: int) -> int:
+    for t in (MAX_TILE_M, TILE_M):
+        if n % t == 0:
+            return t
+    raise ValueError(f"query count {n} not a multiple of {TILE_M}")
 
 
 def _leaky(x):
@@ -157,7 +165,7 @@ def _fused_knn_weight_aggregate(query_xyz, points_xyz, feats_p, add_q,
                                 k, compute_dtype, precision, interpret):
     n = query_xyz.shape[0]
     m = points_xyz.shape[0]
-    assert n % TILE_M == 0, n
+    tile = _pick_tile(n)
     query_xyz = query_xyz.astype(jnp.float32)
     points_xyz = points_xyz.astype(jnp.float32)
     xpt = points_xyz.T
@@ -181,29 +189,29 @@ def _fused_knn_weight_aggregate(query_xyz, points_xyz, feats_p, add_q,
     kernel = functools.partial(
         _corr_kernel, k=k, n_mlp=len(mlp_ws), compute_dtype=compute_dtype,
         precision=precision, has_add=has_add)
-    addq_spec = (pl.BlockSpec((TILE_M, c), lambda i: (i, 0),
+    addq_spec = (pl.BlockSpec((tile, c), lambda i: (i, 0),
                               memory_space=pltpu.VMEM) if has_add
-                 else pl.BlockSpec((TILE_M, 1), lambda i: (i, 0),
+                 else pl.BlockSpec((tile, 1), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
-        grid=(n // TILE_M,),
+        grid=(n // tile,),
         in_specs=[
             full(),                                        # xpt
             full(),                                        # sqp
             full(),                                        # maskf
-            pl.BlockSpec((TILE_M, 3), lambda i: (i, 0),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),         # query tile
             full(),                                        # feats_p
             addq_spec,                                     # add_q tile
             *layer_specs,
         ],
-        out_specs=pl.BlockSpec((TILE_M, c_out), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, c_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c_out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((k, TILE_M, c), jnp.float32),       # slot features
-            pltpu.VMEM((k, TILE_M, 3), jnp.float32),       # slot directions
+            pltpu.VMEM((k, tile, c), jnp.float32),         # slot features
+            pltpu.VMEM((k, tile, 3), jnp.float32),         # slot directions
         ],
         interpret=interpret,
     )(xpt, sqp, maskf, query_xyz, feats_p, add_q, *layer_ops)

@@ -60,8 +60,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_M = 128    # centers per program
-CHUNK_N = 512   # candidate points per inner iteration
+TILE_M = 128     # center-tile granularity (gating: npoint % TILE_M == 0)
+MAX_TILE_M = 512  # preferred tile: fewer programs amortize shared loads
+CHUNK_N = 512    # candidate points per inner iteration
+
+
+def _pick_tile(m: int) -> int:
+    """Largest 128-multiple tile <= MAX_TILE_M dividing m."""
+    for t in (MAX_TILE_M, 256, TILE_M):
+        if m % t == 0:
+            return t
+    raise ValueError(f"npoint {m} not a multiple of {TILE_M}")
 
 # test hook: lets the CPU suite route SetAbstractionMSG through the fused
 # (interpreted) path; on TPU the model uses it whenever `fused_eval` is set
@@ -106,8 +115,8 @@ def _apply_layers(h2d, w_refs, compute_dtype, precision):
 
 def _sa_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, p1_ref, cw_ref,
                *refs, r2: float, nsample: int, n_chunks: int,
-               layers: int, c1: int, compute_dtype, precision):
-    """One program: TILE_M centers vs all N points, CHUNK_N at a time."""
+               layers: int, c1: int, tile: int, compute_dtype, precision):
+    """One program: `tile` centers vs all N points, CHUNK_N at a time."""
     w_refs = refs[:2 * (layers - 1)]
     out_ref, slots_ref, hits_ref = refs[2 * (layers - 1):]
 
@@ -147,9 +156,9 @@ def _sa_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, p1_ref, cw_ref,
 
     # pair layer 1 + slot-validity mask (slot s live iff s < hits)
     h = jax.nn.relu(slots_ref[...] - cw[None, :, :])  # (ns, TM, C1)
-    h2d = _apply_layers(h.reshape(nsample * TILE_M, c1), w_refs,
+    h2d = _apply_layers(h.reshape(nsample * tile, c1), w_refs,
                         compute_dtype, precision)
-    h = h2d.reshape(nsample, TILE_M, h2d.shape[-1])
+    h = h2d.reshape(nsample, tile, h2d.shape[-1])
     s_iota = jax.lax.broadcasted_iota(
         jnp.int32, h.shape, 0).astype(jnp.float32)
     live = s_iota < hits_ref[...][None, :, :]         # bcast (TM,1)->(ns,TM,C)
@@ -209,7 +218,8 @@ def _fused_sa_scale(xyz: jnp.ndarray, centers: jnp.ndarray,
     """
     n, m = xyz.shape[0], centers.shape[0]
     chunk = min(CHUNK_N, n)
-    assert n % chunk == 0 and m % TILE_M == 0, (n, m)
+    tile = _pick_tile(m)
+    assert n % chunk == 0, (n, m)
     xyz = xyz.astype(jnp.float32)
     centers = centers.astype(jnp.float32)
     c1 = ws[0].shape[1]
@@ -240,31 +250,31 @@ def _fused_sa_scale(xyz: jnp.ndarray, centers: jnp.ndarray,
 
     kernel = functools.partial(
         _sa_kernel, r2=float(radius) ** 2, nsample=nsample,
-        n_chunks=n // chunk, layers=layers, c1=c1,
+        n_chunks=n // chunk, layers=layers, c1=c1, tile=tile,
         compute_dtype=compute_dtype,
         precision=precision)
 
     return pl.pallas_call(
         kernel,
-        grid=(m // TILE_M,),
+        grid=(m // tile,),
         in_specs=[
             full(),                                          # xt (3, N)
             full(),                                          # sqx (1, N)
             full(),                                          # maskf (1, N)
             full(),                                          # ut
-            pl.BlockSpec((TILE_M, 3), lambda i: (i, 0),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),           # centers
             full(),                                          # p1 (N, C1)
-            pl.BlockSpec((TILE_M, c1), lambda i: (i, 0),
+            pl.BlockSpec((tile, c1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),           # cw
             *rest_specs,
         ],
-        out_specs=pl.BlockSpec((TILE_M, c_out), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, c_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, c_out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((nsample, TILE_M, c1), jnp.float32),  # slot gather
-            pltpu.VMEM((TILE_M, 1), jnp.float32),            # hit count
+            pltpu.VMEM((nsample, tile, c1), jnp.float32),    # slot gather
+            pltpu.VMEM((tile, 1), jnp.float32),              # hit count
         ],
         interpret=interpret,
     )(xt, sqx, maskf, ut, centers, p1, cw, *rest)

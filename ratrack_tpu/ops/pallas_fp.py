@@ -39,8 +39,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_M = 128
+TILE_M = 128      # query-tile granularity (gating: N % TILE_M == 0)
+MAX_TILE_M = 512  # preferred tile
 _BIG = 1e10
+
+
+def _pick_tile(n: int) -> int:
+    for t in (MAX_TILE_M, 256, TILE_M):
+        if n % t == 0:
+            return t
+    raise ValueError(f"query count {n} not a multiple of {TILE_M}")
 
 
 def _fp_kernel(kxt_ref, sqk_ref, maskf_ref, u_ref, feats_ref,
@@ -94,7 +102,7 @@ def fused_three_interpolate(unknown_xyz, known_xyz, known_feats,
     """3-NN inverse-distance interpolation, one fused kernel.
 
     Args:
-      unknown_xyz: (N, 3) query points, N multiple of TILE_M.
+      unknown_xyz: (N, 3) query points, N multiple of 128.
       known_xyz: (M, 3) source points.
       known_feats: (M, C) source features.
       known_mask: optional (M,) bool validity of sources.
@@ -118,7 +126,7 @@ def _fused_three_interpolate(unknown_xyz, known_xyz, known_feats,
                              eps, interpret):
     n = unknown_xyz.shape[0]
     m = known_xyz.shape[0]
-    assert n % TILE_M == 0, n
+    tile = _pick_tile(n)
     unknown_xyz = unknown_xyz.astype(jnp.float32)
     known_xyz = known_xyz.astype(jnp.float32)
     kxt = known_xyz.T                                  # (3, M)
@@ -133,16 +141,16 @@ def _fused_three_interpolate(unknown_xyz, known_xyz, known_feats,
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     return pl.pallas_call(
         kernel,
-        grid=(n // TILE_M,),
+        grid=(n // tile,),
         in_specs=[
             full(),                                        # kxt
             full(),                                        # sqk
             full(),                                        # maskf
-            pl.BlockSpec((TILE_M, 3), lambda i: (i, 0),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),         # unknown tile
             full(),                                        # feats
         ],
-        out_specs=pl.BlockSpec((TILE_M, c), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
         interpret=interpret,

@@ -114,9 +114,9 @@ def _apply_layers(h2d, w_refs, compute_dtype, precision):
 
 
 def _sa_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, p1_ref, cw_ref,
-               *refs, r2: float, nsample: int, n_chunks: int,
+               *refs, r2: float, nsample: int, n_chunks: int, chunk: int,
                layers: int, c1: int, tile: int, compute_dtype, precision):
-    """One program: `tile` centers vs all N points, CHUNK_N at a time."""
+    """One program: `tile` centers vs all N points, `chunk` at a time."""
     w_refs = refs[:2 * (layers - 1)]
     out_ref, slots_ref, hits_ref = refs[2 * (layers - 1):]
 
@@ -128,7 +128,8 @@ def _sa_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, p1_ref, cw_ref,
     hits_ref[...] = jnp.zeros_like(hits_ref)          # (TM, 1)
 
     def body(j, _):
-        js = pl.ds(j * CHUNK_N, CHUNK_N)
+        js = pl.ds(j * chunk, chunk)   # NOT the global CHUNK_N: clouds
+        # smaller than 512 use chunk == N (regression-tested at 256)
         xs = xt_ref[:, js]                            # (3, CHUNK)
         # expanded-form squared distance, plain f32 VPU arithmetic
         prod = (c[:, 0:1] * xs[0:1, :] + c[:, 1:2] * xs[1:2, :]
@@ -250,7 +251,7 @@ def _fused_sa_scale(xyz: jnp.ndarray, centers: jnp.ndarray,
 
     kernel = functools.partial(
         _sa_kernel, r2=float(radius) ** 2, nsample=nsample,
-        n_chunks=n // chunk, layers=layers, c1=c1, tile=tile,
+        n_chunks=n // chunk, chunk=chunk, layers=layers, c1=c1, tile=tile,
         compute_dtype=compute_dtype,
         precision=precision)
 

@@ -222,3 +222,20 @@ class TestPNHeadFusedIntegration:
         leaves_u = jax.tree_util.tree_leaves(vs_u["params"])
         for a, b in zip(leaves_f, leaves_u):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSmallCloudRegression:
+    """N < CHUNK_N clouds (e.g. the 256-pt synthetic config): the kernel
+    must slice with the per-call chunk, not the global CHUNK_N constant —
+    regression for a shape mismatch that broke every fused N=256 eval."""
+
+    @pytest.mark.parametrize("n", [128, 256, 384])
+    def test_parity_small_n(self, n):
+        xyz, feat, mask, ws, bs = _case(7, n, 32)
+        r, ns = 4.0, 8
+        rows = _stable_rows(xyz, mask, r)
+        ref = np.asarray(sa_scale_reference(xyz, xyz, feat, mask, ws, bs,
+                                            radius=r, nsample=ns))
+        got = np.asarray(_fused(xyz, feat, mask, ws, bs, r, ns))
+        np.testing.assert_allclose(got[rows], ref[rows],
+                                   atol=1e-4, rtol=1e-4)

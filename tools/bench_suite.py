@@ -74,7 +74,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from ratrack_tpu.config import Config
-    from ratrack_tpu.train.step import (make_scan_eval_step,
+    from ratrack_tpu.train.step import (make_scan_eval_step_cached
+                                        as make_scan_eval_step,
                                         make_scan_train_step,
                                         create_train_state, make_optimizer)
     from ratrack_tpu.tracker import init_state

@@ -68,6 +68,25 @@ class SetAbstractionMSG(nn.Module):
         c_in = 3 + (features.shape[-1] if features is not None else 0)
         fused = (not train and self.fused_eval and pallas_sa.fused_available()
                  and n % 128 == 0 and self.npoint % TILE_M == 0)
+        if fused and len(self.radii) == 2:
+            # both scales of the level in ONE kernel (shared distances,
+            # one dispatch) — bit-identical to two single-scale calls
+            folded = []
+            for s, mlp in enumerate(self.mlps):
+                module = PointwiseMLP(mlp, bn=True, dtype=self.dtype,
+                                      name=f"mlp_{s}")
+                _ = module(jnp.zeros((1, 1, c_in), self.dtype), train=False)
+                folded.append(fold_bn_params(module.variables))
+            out_a, out_b = pallas_sa.fused_sa_pair(
+                xyz, new_xyz, features, mask,
+                tuple(folded[0][0]), tuple(folded[0][1]),
+                tuple(folded[1][0]), tuple(folded[1][1]),
+                radius_a=self.radii[0], radius_b=self.radii[1],
+                nsample_a=self.nsamples[0], nsample_b=self.nsamples[1],
+                compute_dtype=self.dtype)
+            return new_xyz, jnp.concatenate(
+                [out_a.astype(self.dtype), out_b.astype(self.dtype)],
+                axis=-1)
         outs = []
         for s, (r, ns, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):

@@ -113,6 +113,23 @@ def _apply_layers(h2d, w_refs, compute_dtype, precision):
     return h2d
 
 
+def _finish_scale(slots, hits, cw, p1_row0, w_refs, nsample, c1, tile,
+                  compute_dtype, precision):
+    """Pair layer 1 + folded MLP + slot-masked max + no-hit fallback."""
+    h = jax.nn.relu(slots - cw[None, :, :])           # (ns, TM, C1)
+    h2d = _apply_layers(h.reshape(nsample * tile, c1), w_refs,
+                        compute_dtype, precision)
+    h = h2d.reshape(nsample, tile, h2d.shape[-1])
+    s_iota = jax.lax.broadcasted_iota(
+        jnp.int32, h.shape, 0).astype(jnp.float32)
+    live = s_iota < hits[None, :, :]                  # bcast (TM,1)
+    pooled = jnp.max(jnp.where(live, h, -jnp.inf), axis=0)
+    # no-hit fallback: CUDA leaves idx 0 -> the pooled value is pair (i, 0)
+    fb = jax.nn.relu(p1_row0 - cw)                    # (TM, C1)
+    fb = _apply_layers(fb, w_refs, compute_dtype, precision)
+    return jnp.where(hits > 0.0, pooled, fb)
+
+
 def _sa_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, p1_ref, cw_ref,
                *refs, r2: float, nsample: int, n_chunks: int, chunk: int,
                layers: int, c1: int, tile: int, compute_dtype, precision):
@@ -155,20 +172,83 @@ def _sa_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, p1_ref, cw_ref,
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
-    # pair layer 1 + slot-validity mask (slot s live iff s < hits)
-    h = jax.nn.relu(slots_ref[...] - cw[None, :, :])  # (ns, TM, C1)
-    h2d = _apply_layers(h.reshape(nsample * tile, c1), w_refs,
-                        compute_dtype, precision)
-    h = h2d.reshape(nsample, tile, h2d.shape[-1])
-    s_iota = jax.lax.broadcasted_iota(
-        jnp.int32, h.shape, 0).astype(jnp.float32)
-    live = s_iota < hits_ref[...][None, :, :]         # bcast (TM,1)->(ns,TM,C)
-    pooled = jnp.max(jnp.where(live, h, -jnp.inf), axis=0)
+    out_ref[...] = _finish_scale(slots_ref[...], hits_ref[...], cw,
+                                 p1_ref[0:1, :], w_refs, nsample, c1,
+                                 tile, compute_dtype, precision)
 
-    # no-hit fallback: CUDA leaves idx 0 -> the pooled value is pair (i, 0)
-    fb = jax.nn.relu(p1_ref[0:1, :] - cw)             # (TM, C1)
-    fb = _apply_layers(fb, w_refs, compute_dtype, precision)
-    out_ref[...] = jnp.where(hits_ref[...] > 0.0, pooled, fb)
+
+def _sa_pair_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref,
+                    p1a_ref, cwa_ref, p1b_ref, cwb_ref, *refs,
+                    r2a: float, r2b: float, nsa: int, nsb: int,
+                    n_chunks: int, chunk: int, layers_a: int,
+                    layers_b: int, c1a: int, c1b: int, tile: int,
+                    compute_dtype, precision):
+    """Both radius scales of one SA level in one program.
+
+    MSG levels always group the SAME (points, centers) at two radii
+    (pointnet2_modules.py:58-94); merging shares the distance matrix, the
+    shared input loads, and issues ONE stacked prefix-count matmul for
+    both hit masks — and halves the kernel dispatches per level.
+    Per-scale math is identical to _sa_kernel, so outputs are
+    bit-identical to two single-scale calls.
+    """
+    nwa, nwb = 2 * (layers_a - 1), 2 * (layers_b - 1)
+    wa_refs = refs[:nwa]
+    wb_refs = refs[nwa:nwa + nwb]
+    (outa_ref, outb_ref, slotsa_ref, hitsa_ref,
+     slotsb_ref, hitsb_ref) = refs[nwa + nwb:]
+
+    c = c_ref[...]                                    # (TM, 3) f32
+    sqc = jnp.sum(c * c, axis=1, keepdims=True)
+    cwa, cwb = cwa_ref[...], cwb_ref[...]
+
+    slotsa_ref[...] = jnp.zeros_like(slotsa_ref)
+    hitsa_ref[...] = jnp.zeros_like(hitsa_ref)
+    slotsb_ref[...] = jnp.zeros_like(slotsb_ref)
+    hitsb_ref[...] = jnp.zeros_like(hitsb_ref)
+
+    def body(j, _):
+        js = pl.ds(j * chunk, chunk)
+        xs = xt_ref[:, js]                            # (3, CHUNK)
+        prod = (c[:, 0:1] * xs[0:1, :] + c[:, 1:2] * xs[1:2, :]
+                + c[:, 2:3] * xs[2:3, :])
+        d2 = jnp.maximum(sqc + sqx_ref[:, js] - 2.0 * prod, 0.0)
+        valid = maskf_ref[:, js] > 0.0
+        hita = jnp.logical_and(d2 < r2a, valid).astype(jnp.float32)
+        hitb = jnp.logical_and(d2 < r2b, valid).astype(jnp.float32)
+        # one stacked prefix-count matmul for both scales
+        ranks = jax.lax.dot(
+            jnp.concatenate([hita, hitb], axis=0), ut_ref[...],
+            preferred_element_type=jnp.float32)
+        ranka = jnp.where(hita > 0.0,
+                          ranks[:hita.shape[0]] + hitsa_ref[...], 0.0)
+        rankb = jnp.where(hitb > 0.0,
+                          ranks[hita.shape[0]:] + hitsb_ref[...], 0.0)
+        hitsa_ref[...] += jnp.sum(hita, axis=1, keepdims=True)
+        hitsb_ref[...] += jnp.sum(hitb, axis=1, keepdims=True)
+
+        p1ca = p1a_ref[js, :].astype(compute_dtype)
+        for s in range(nsa):
+            oh = (ranka == float(s + 1)).astype(compute_dtype)
+            slotsa_ref[s, :, :] += jax.lax.dot(
+                oh, p1ca, preferred_element_type=jnp.float32,
+                precision=precision)
+        p1cb = p1b_ref[js, :].astype(compute_dtype)
+        for s in range(nsb):
+            oh = (rankb == float(s + 1)).astype(compute_dtype)
+            slotsb_ref[s, :, :] += jax.lax.dot(
+                oh, p1cb, preferred_element_type=jnp.float32,
+                precision=precision)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    outa_ref[...] = _finish_scale(slotsa_ref[...], hitsa_ref[...], cwa,
+                                  p1a_ref[0:1, :], wa_refs, nsa, c1a,
+                                  tile, compute_dtype, precision)
+    outb_ref[...] = _finish_scale(slotsb_ref[...], hitsb_ref[...], cwb,
+                                  p1b_ref[0:1, :], wb_refs, nsb, c1b,
+                                  tile, compute_dtype, precision)
 
 
 def fused_sa_scale(xyz, centers, features, mask, ws, bs, *,
@@ -279,6 +359,105 @@ def _fused_sa_scale(xyz: jnp.ndarray, centers: jnp.ndarray,
         ],
         interpret=interpret,
     )(xt, sqx, maskf, ut, centers, p1, cw, *rest)
+
+
+def _hoist_layer1(xyz, centers, features, ws, bs):
+    """Layer-1 factorization: per-point P1 (N, C1) and per-center CW."""
+    w1_xyz, w1_feat = ws[0][:3], ws[0][3:]
+    p1 = xyz @ w1_xyz + bs[0][None, :]
+    if features is not None:
+        assert w1_feat.shape[0] == features.shape[1], \
+            (w1_feat.shape, features.shape)
+        p1 = p1 + features.astype(jnp.float32) @ w1_feat
+    return p1, centers @ w1_xyz
+
+
+def fused_sa_pair(xyz, centers, features, mask, ws_a, bs_a, ws_b, bs_b, *,
+                  radius_a: float, radius_b: float, nsample_a: int,
+                  nsample_b: int, compute_dtype=jnp.bfloat16,
+                  precision=None, interpret: bool | None = None):
+    """Both radius scales of one MSG level in one kernel → (out_a, out_b).
+
+    Bit-identical to two fused_sa_scale calls (same per-scale math); one
+    dispatch, shared distance matrix, one stacked prefix-count matmul.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_sa_pair(xyz, centers, features, mask, tuple(ws_a),
+                          tuple(bs_a), tuple(ws_b), tuple(bs_b),
+                          radius_a=radius_a, radius_b=radius_b,
+                          nsample_a=nsample_a, nsample_b=nsample_b,
+                          compute_dtype=compute_dtype, precision=precision,
+                          interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius_a", "radius_b", "nsample_a", "nsample_b",
+                     "compute_dtype", "precision", "interpret"))
+def _fused_sa_pair(xyz, centers, features, mask, ws_a, bs_a, ws_b, bs_b,
+                   *, radius_a, radius_b, nsample_a, nsample_b,
+                   compute_dtype, precision, interpret):
+    n, m = xyz.shape[0], centers.shape[0]
+    chunk = min(CHUNK_N, n)
+    # cap the pair tile at 256: both scales' slot scratch + finish
+    # activations at 512 approach the 16M scoped-vmem stack limit
+    tile = min(_pick_tile(m), 256)
+    assert n % chunk == 0, (n, m)
+    xyz = xyz.astype(jnp.float32)
+    centers = centers.astype(jnp.float32)
+    c1a, c1b = ws_a[0].shape[1], ws_b[0].shape[1]
+
+    p1a, cwa = _hoist_layer1(xyz, centers, features, ws_a, bs_a)
+    p1b, cwb = _hoist_layer1(xyz, centers, features, ws_b, bs_b)
+
+    xt = xyz.T
+    sqx = jnp.sum(xyz * xyz, axis=1)[None, :]
+    maskf = (jnp.ones((1, n), jnp.float32) if mask is None
+             else mask.astype(jnp.float32)[None, :])
+    ut = jnp.triu(jnp.ones((chunk, chunk), jnp.float32))
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    rest: list[jnp.ndarray] = []
+    rest_specs: list[pl.BlockSpec] = []
+    for ws, bs in ((ws_a, bs_a), (ws_b, bs_b)):
+        for w, b in zip(ws[1:], bs[1:]):
+            rest += [w.astype(jnp.float32), b.astype(jnp.float32)[None, :]]
+            rest_specs += [full(), full()]
+
+    kernel = functools.partial(
+        _sa_pair_kernel, r2a=float(radius_a) ** 2,
+        r2b=float(radius_b) ** 2, nsa=nsample_a, nsb=nsample_b,
+        n_chunks=n // chunk, chunk=chunk, layers_a=len(ws_a),
+        layers_b=len(ws_b), c1a=c1a, c1b=c1b, tile=tile,
+        compute_dtype=compute_dtype, precision=precision)
+
+    tile_spec = lambda c: pl.BlockSpec(  # noqa: E731
+        (tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // tile,),
+        in_specs=[
+            full(), full(), full(), full(),        # xt, sqx, maskf, ut
+            tile_spec(3),                          # centers
+            full(), tile_spec(c1a),                # p1a, cwa
+            full(), tile_spec(c1b),                # p1b, cwb
+            *rest_specs,
+        ],
+        out_specs=(tile_spec(ws_a[-1].shape[1]),
+                   tile_spec(ws_b[-1].shape[1])),
+        out_shape=(jax.ShapeDtypeStruct((m, ws_a[-1].shape[1]),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((m, ws_b[-1].shape[1]),
+                                        jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((nsample_a, tile, c1a), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+            pltpu.VMEM((nsample_b, tile, c1b), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt, sqx, maskf, ut, centers, p1a, cwa, p1b, cwb, *rest)
 
 
 def sa_scale_reference(xyz, centers, features, mask, ws, bs, *,

@@ -239,3 +239,46 @@ class TestSmallCloudRegression:
         got = np.asarray(_fused(xyz, feat, mask, ws, bs, r, ns))
         np.testing.assert_allclose(got[rows], ref[rows],
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestFusedSAPair:
+    """One merged-pair kernel == two single-scale kernels, bit-exact."""
+
+    @pytest.mark.parametrize("cfg", [
+        dict(ra=2.0, rb=4.0, na=4, nb=8),       # sa1 shape
+        dict(ra=8.0, rb=16.0, na=16, nb=32),    # sa3 shape
+    ])
+    def test_pair_matches_two_singles(self, cfg):
+        from ratrack_tpu.ops.pallas_sa import fused_sa_pair
+        xyz, feat, mask, ws, bs = _case(3, 512, 32)
+        rng = np.random.RandomState(9)
+        c1b, c2b = 24, 16
+        ws_b = (jnp.asarray(rng.randn(3 + 32, c1b).astype(np.float32) * .2),
+                jnp.asarray(rng.randn(c1b, c2b).astype(np.float32) * .2))
+        bs_b = (jnp.asarray(rng.randn(c1b).astype(np.float32) * .1),
+                jnp.asarray(rng.randn(c2b).astype(np.float32) * .1))
+        a1 = _fused(xyz, feat, mask, ws, bs, cfg["ra"], cfg["na"])
+        b1 = fused_sa_scale(xyz, xyz, feat, mask, ws_b, bs_b,
+                            radius=cfg["rb"], nsample=cfg["nb"],
+                            compute_dtype=jnp.float32, precision=HI,
+                            interpret=True)
+        a2, b2 = fused_sa_pair(xyz, xyz, feat, mask, ws, bs, ws_b, bs_b,
+                               radius_a=cfg["ra"], radius_b=cfg["rb"],
+                               nsample_a=cfg["na"], nsample_b=cfg["nb"],
+                               compute_dtype=jnp.float32, precision=HI,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+    def test_pair_small_cloud(self):
+        from ratrack_tpu.ops.pallas_sa import fused_sa_pair
+        xyz, feat, mask, ws, bs = _case(4, 256, 16, c1=16, c2=16)
+        a1 = _fused(xyz, feat, mask, ws, bs, 4.0, 8)
+        b1 = _fused(xyz, feat, mask, ws, bs, 8.0, 16)
+        a2, b2 = fused_sa_pair(xyz, xyz, feat, mask, ws, bs, ws, bs,
+                               radius_a=4.0, radius_b=8.0,
+                               nsample_a=8, nsample_b=16,
+                               compute_dtype=jnp.float32, precision=HI,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))

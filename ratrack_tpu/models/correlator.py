@@ -51,8 +51,12 @@ class FeatureCorrelator(nn.Module):
         wn2 = WeightNet(self.mlp[-1], dtype=self.dtype, name="weightnet2")
 
         d1, d2c = f1.shape[-1], f2.shape[-1]
+        # n <= 4096: the kernel's k unrolled min-extraction passes hold
+        # (tile, N) temporaries on the Mosaic stack — ~70M at N=8192
+        # (compile-time vmem OOM); large clouds keep the chunked kNN path
         fused = (not train and self.fused_eval
-                 and pallas_sa.fused_available() and n % TILE_M == 0)
+                 and pallas_sa.fused_available() and n % TILE_M == 0
+                 and n <= 4096)
         if fused:
             # materialize identical param trees, then read them for the
             # layer-1 factorization (dummy applies are dead-code removed)

@@ -43,9 +43,16 @@ MAX_TILE_M = 256  # preferred tile (512 exceeds the 16M scoped-vmem limit)
 _BIG = 1e10
 
 
-def _pick_tile(n: int) -> int:
+def _pick_tile(n: int, m: int) -> int:
+    """Largest tile dividing n whose (tile, M) working set stays in VMEM.
+
+    The min-extraction holds several (tile, M) f32 temporaries live; at
+    M=8192 a 256 tile spills past the 128M chip VMEM (measured OOM), so
+    large candidate counts stay at the 128 granularity.
+    """
+    cap = MAX_TILE_M if m <= 4096 else TILE_M
     for t in (MAX_TILE_M, TILE_M):
-        if n % t == 0:
+        if t <= cap and n % t == 0:
             return t
     raise ValueError(f"query count {n} not a multiple of {TILE_M}")
 
@@ -165,7 +172,7 @@ def _fused_knn_weight_aggregate(query_xyz, points_xyz, feats_p, add_q,
                                 k, compute_dtype, precision, interpret):
     n = query_xyz.shape[0]
     m = points_xyz.shape[0]
-    tile = _pick_tile(n)
+    tile = _pick_tile(n, m)
     query_xyz = query_xyz.astype(jnp.float32)
     points_xyz = points_xyz.astype(jnp.float32)
     xpt = points_xyz.T

@@ -13,6 +13,11 @@ exposes the tracker as a long-lived service:
   * `track(stream, scan)` = submit + step for single-stream low latency;
   * raw scans in, tracks out: padding, masking and frame pairing happen
     here; no GT, no files, no host round-trips inside the step.
+  * transfer discipline: ONE packed upload and ONE packed download per
+    step (ints bitcast into float lanes) — on a remote-TPU tunnel every
+    host sync costs a full RTT (~35 ms on this dev box, which IS the
+    measured single-stream latency; on directly-attached TPUs the same
+    path is RTT-free and compute-bound at ~1 ms).
 
 Design notes:
   * the per-stream previous scan is paired host-side (pc1 = new scan,
@@ -77,7 +82,32 @@ class RadarTracker:
         self._staged: List[Optional[np.ndarray]] = [None] * max_streams
         self._fresh: List[bool] = [False] * max_streams   # new_seq pending
 
-        def batched_step(variables, states, frames, active):
+        k_max = model.k_max
+
+        def batched_step(variables, states, packed, flags):
+            """packed (B, N, 12) = [pc1|pc2|ft1|ft2|mask1|mask2];
+            flags (B, 2) = [active, new_seq].
+
+            The eager path over the remote-TPU tunnel pays ~4 ms RTT PER
+            ARRAY transferred; shipping the 14 FrameBatch leaves + pulling
+            5 outputs cost ~150 ms/frame. One packed upload and two packed
+            downloads keep the per-call latency at a few RTTs.
+            """
+            b, n = packed.shape[:2]
+            zf = jnp.zeros((b, n), jnp.float32)
+            zb3 = jnp.zeros((b, n, 3), jnp.float32)
+            frames = FrameBatch(
+                pc1=packed[..., 0:3], pc2=packed[..., 3:6],
+                ft1=packed[..., 6:8], ft2=packed[..., 8:10],
+                mask1=packed[..., 10] > 0.5, mask2=packed[..., 11] > 0.5,
+                pc1_comp=zb3, gt_cls=zf > 1.0, gt_flow=zb3,
+                gt_dense=jnp.full((b, n), -1, jnp.int32),
+                gt_label_ids=jnp.full((b, k_max), -1, jnp.int32),
+                gt_valid=jnp.zeros((b, k_max), bool),
+                new_seq=flags[:, 1] > 0.5,
+                frame_number=jnp.zeros((b,), jnp.int32))
+            active = flags[:, 0] > 0.5
+
             def one(frame, state):
                 return model.apply(variables, frame, state, train=False)
             outs, new_states = jax.vmap(one)(frames, states)
@@ -87,7 +117,20 @@ class RadarTracker:
                     active.reshape((-1,) + (1,) * (new.ndim - 1)),
                     new, old),
                 new_states, states)
-            return outs, kept
+            # ONE packed download: floats (warp, cls, conf) with the int
+            # outputs (labels, track_id) BITCAST into float lanes — every
+            # host sync over the tunnel costs a full ~35 ms RTT, so the
+            # result comes back in a single pull (host views the tail
+            # back as int32, exact)
+            iout = jnp.concatenate(
+                [outs["labels"].astype(jnp.int32),
+                 outs["track_id"].astype(jnp.int32)], axis=1)
+            out = jnp.concatenate(
+                [outs["warp"].reshape(b, -1),
+                 outs["cls"].reshape(b, -1),
+                 outs["conf"].reshape(b, -1),
+                 jax.lax.bitcast_convert_type(iout, jnp.float32)], axis=1)
+            return out, kept
 
         self._step = jax.jit(batched_step)
         self._empty = empty_frame(n_max, model.k_max)
@@ -179,31 +222,35 @@ class RadarTracker:
                       if self._staged[sid] is not None]
             if not staged:
                 return {}
-            fields = {f: [] for f in FrameBatch._fields}
-            active = np.zeros((self.max_streams,), bool)
-            for sid in range(self.max_streams):
-                rec = self._empty._asdict().copy()
-                if self._staged[sid] is not None:
-                    pc1, ft1, m1 = self._pad_scan(self._staged[sid])
-                    pc2, ft2, m2 = self._pad_scan(self._prev[sid])
-                    rec.update(pc1=pc1, ft1=ft1, mask1=m1,
-                               pc2=pc2, ft2=ft2, mask2=m2,
-                               new_seq=np.asarray(self._fresh[sid]))
-                    active[sid] = True
-                for f in FrameBatch._fields:
-                    fields[f].append(np.asarray(rec[f]))
-            frames = FrameBatch(**{f: jnp.asarray(np.stack(v))
-                                   for f, v in fields.items()})
-            outs, self._states = self._step(
-                self._variables, self._states, frames,
-                jnp.asarray(active))
+            b, n = self.max_streams, self.n_max
+            packed = np.zeros((b, n, 12), np.float32)
+            flags = np.zeros((b, 2), np.float32)
+            for sid, _ in staged:
+                pc1, ft1, m1 = self._pad_scan(self._staged[sid])
+                pc2, ft2, m2 = self._pad_scan(self._prev[sid])
+                packed[sid, :, 0:3] = pc1
+                packed[sid, :, 3:6] = pc2
+                packed[sid, :, 6:8] = ft1
+                packed[sid, :, 8:10] = ft2
+                packed[sid, :, 10] = m1
+                packed[sid, :, 11] = m2
+                flags[sid] = (1.0, float(self._fresh[sid]))
+            out, self._states = self._step(
+                self._variables, self._states, jnp.asarray(packed),
+                jnp.asarray(flags))
+            out = np.asarray(out)
+            k = self.k_max
+            warp = out[:, :3 * n].reshape(b, n, 3)
+            cls = out[:, 3 * n:4 * n]
+            conf_all = out[:, 4 * n:4 * n + k]
+            ints = out[:, 4 * n + k:].view(np.int32)
+            labels_all = ints[:, :n]
+            tid_all = ints[:, n:n + k]
 
             results: Dict[int, TrackOutput] = {}
-            host = {k: np.asarray(v) for k, v in outs.items()
-                    if k in ("labels", "track_id", "conf", "cls", "warp")}
             for sid, scan in staged:
-                labels = host["labels"][sid]
-                tid = host["track_id"][sid]
+                labels = labels_all[sid]
+                tid = tid_all[sid]
                 pt_tid = np.where(labels >= 0,
                                   tid[np.clip(labels, 0, self.k_max - 1)],
                                   -1)
@@ -214,10 +261,10 @@ class RadarTracker:
                     labels=labels,
                     point_track_id=pt_tid.astype(np.int32),
                     track_id=tid,
-                    conf=host["conf"][sid],
-                    moving=(host["cls"][sid] > self.model.mov_thres)
+                    conf=conf_all[sid],
+                    moving=(cls[sid] > self.model.mov_thres)
                     & (np.arange(self.n_max) < n_pts),
-                    flow=host["warp"][sid] - pc1,
+                    flow=warp[sid] - pc1,
                     n_points=n_pts,
                     n_objects=int(np.sum(tid >= 0)),
                 )

@@ -113,6 +113,28 @@ def main():
                4, reps=3)
     results.append(dict(scenario="eval_8192pt_stretch", **r))
 
+    # 5. online serving latency: single stream, ONE frame per dispatch
+    # (what serve.RadarTracker.track pays per scan, incl. host round-trip)
+    from ratrack_tpu.serve import RadarTracker
+    import numpy as np
+    model, variables, frames, tstates = _setup(512, 1, 4)
+    svc = RadarTracker(model, variables, n_max=512, max_streams=1)
+    sid = svc.open_stream()
+    rng = np.random.RandomState(0)
+    scan = lambda: np.concatenate(  # noqa: E731
+        [rng.randn(360, 3).astype(np.float32) * 10,
+         rng.randn(360, 2).astype(np.float32)], axis=1)
+    svc.track(sid, scan())
+    svc.track(sid, scan())                       # compile
+    t0 = time.time()
+    reps = 20
+    for _ in range(reps):
+        svc.track(sid, scan())
+    dt = (time.time() - t0) / reps
+    results.append(dict(scenario="serve_latency_1stream",
+                        ms_per_frame=round(1000 * dt, 3),
+                        fps=round(1 / dt, 2), compile_s=0.0))
+
     for row in results:
         row["backend"] = jax.default_backend()
         print(json.dumps(row))

@@ -57,10 +57,16 @@ class SetAbstractionMSG(nn.Module):
         """xyz (N,3), features (N,C) or None, mask (N,) → new_xyz (npoint,3),
         new_feats (npoint, sum(mlp[-1]))."""
         n = xyz.shape[0]
-        if self.npoint == n and not self.exact_fps:
+        if self.npoint == n and not self.exact_fps and not train:
             # identity indices: the gather is a row select (bit-identical
-            # to gather(xyz, identity_sample(...)), ~10x cheaper on TPU)
+            # to gather(xyz, identity_sample(...)), ~10x cheaper on TPU).
+            # Eval-only: under grad the single seed-row take lowers to a
+            # pathological ~0.15 ms fusion per call (57% of the profiled
+            # train step); the full row gather fuses fine in train.
             new_xyz = identity_gather(xyz, mask)
+        elif self.npoint == n and not self.exact_fps:
+            idx = identity_sample(n, self.npoint, mask)
+            new_xyz = gather(xyz, idx)
         else:
             idx = furthest_point_sample(xyz, self.npoint, mask)
             new_xyz = gather(xyz, idx)

@@ -53,9 +53,11 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     """Weighted 3-point interpolation: (M, C) × (N, 3) × (N, 3) -> (N, C).
 
     Backward (scatter-add into features, interpolate_gpu.cu:195-231) is
-    supplied by autodiff.
+    supplied by autodiff — on TPU through the one-hot matmul route
+    (ops.sampling.group), keeping both directions on the MXU.
     """
-    gathered = jnp.take(features, idx, axis=0)        # (N, 3, C)
+    from .sampling import group as _group
+    gathered = _group(features, idx)                  # (N, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=1)
 
 

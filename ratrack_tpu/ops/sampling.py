@@ -97,13 +97,48 @@ def identity_gather(points: jnp.ndarray,
     return jnp.where(keep, points, seed_row[None, :])
 
 
+def take_rows_mm(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather (N, C) × (M,) → (M, C) as an exact one-hot matmul.
+
+    Forward: onehot(idx) @ points at HIGHEST precision — each output row
+    sums exactly one product 1.0 × v, so it is bit-exact to jnp.take for
+    any dtype. Backward (autodiff of the dot): onehotᵀ @ cotangent — the
+    scatter-add the reference hand-writes in CUDA
+    (group_points_gpu.cu:51-86), but as an MXU matmul. Motivation: under
+    grad the take-based gathers plus their scatter-add backwards are 55%
+    of the profiled TRAIN step device time on TPU (the forwards fuse into
+    the grouped MLP, the scatters do not).
+    """
+    n = points.shape[0]
+    oh = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
+    out = jax.lax.dot(oh.astype(jnp.float32), points.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    return out.astype(points.dtype)
+
+
+# one-hot footprint cap: idx.size × N f32 elements (64 MB). The live
+# train shapes (16384 × 512 = 8.4M) pass; 8k-stretch groups (16384 ×
+# 8192 = 134M) would blow HBM traffic and fall back to jnp.take.
+_MM_GATHER_MAX_ELEMS = 16 * 1024 * 1024
+
+
+def _use_mm_gather(idx_size: int, n: int) -> bool:
+    import jax as _jax
+    return (_jax.default_backend() == "tpu"
+            and idx_size * n <= _MM_GATHER_MAX_ELEMS)
+
+
 def gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Row gather: (N, C) × (M,) -> (M, C).
 
     The reference implements forward + hand-written scatter-add backward in
-    CUDA (sampling_gpu.cu:8-83); `jnp.take`'s autodiff produces exactly that
-    scatter-add, so no custom VJP is needed.
+    CUDA (sampling_gpu.cu:8-83). On TPU this routes through the one-hot
+    matmul (bit-exact; see take_rows_mm); elsewhere `jnp.take`, whose
+    autodiff produces exactly that scatter-add.
     """
+    if _use_mm_gather(idx.size, points.shape[0]):
+        return take_rows_mm(points, idx)
     return jnp.take(points, idx, axis=0)
 
 
@@ -111,9 +146,12 @@ def group(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Group gather: (N, C) × (M, S) -> (M, S, C).
 
     Reference: group_points (group_points_gpu.cu:8-86), backward is
-    scatter-add — supplied by autodiff. (ops.pallas_gather.take_rows is a
-    bit-identical MXU one-hot alternative; measured end-to-end it is
-    fusion-hostile at the live 512-pt config — XLA already fuses these
-    gathers into the following grouped MLP — so jnp.take stays default.)
+    scatter-add. On TPU: one-hot matmul (bit-exact, MXU both directions —
+    see take_rows_mm; the scatter-add backward of jnp.take was 55% of the
+    train step); elsewhere jnp.take.
     """
+    if _use_mm_gather(idx.size, points.shape[0]):
+        m, s = idx.shape
+        return take_rows_mm(points, idx.reshape(-1)).reshape(
+            m, s, points.shape[-1])
     return jnp.take(points, idx, axis=0)

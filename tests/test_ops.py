@@ -148,3 +148,45 @@ def test_gather_grad_is_scatter_add(rng):
     want[0] = 4.0  # gathered twice
     want[3] = 2.0
     np.testing.assert_allclose(g, want)
+
+
+class TestOneHotMatmulGather:
+    """take_rows_mm must be BIT-exact to jnp.take (fwd and grad): it is
+    the TPU train-path route for gather/group/three_interpolate, replacing
+    the scatter-add backward (55% of the profiled train step) with MXU
+    matmuls."""
+
+    def test_forward_exact_f32(self):
+        from ratrack_tpu.ops.sampling import take_rows_mm
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.randn(97, 19).astype(np.float32) * 1e3)
+        idx = jnp.asarray(rng.randint(0, 97, size=(230,)).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(take_rows_mm(pts, idx)),
+            np.asarray(jnp.take(pts, idx, axis=0)))
+
+    def test_forward_exact_bf16(self):
+        from ratrack_tpu.ops.sampling import take_rows_mm
+        rng = np.random.RandomState(1)
+        pts = jnp.asarray(rng.randn(64, 8).astype(np.float32)
+                          ).astype(jnp.bfloat16)
+        idx = jnp.asarray(rng.randint(0, 64, size=(40,)).astype(np.int32))
+        got = take_rows_mm(pts, idx)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(got.astype(jnp.float32)),
+            np.asarray(jnp.take(pts, idx, axis=0).astype(jnp.float32)))
+
+    def test_gradient_matches_scatter_add(self):
+        import jax
+        from ratrack_tpu.ops.sampling import take_rows_mm
+        rng = np.random.RandomState(2)
+        pts = jnp.asarray(rng.randn(31, 5).astype(np.float32))
+        # duplicate indices: the backward must ACCUMULATE like scatter-add
+        idx = jnp.asarray(np.array([0, 3, 3, 3, 30, 7], np.int32))
+        ct = jnp.asarray(rng.randn(6, 5).astype(np.float32))
+        g_mm = jax.grad(lambda p: jnp.vdot(take_rows_mm(p, idx), ct))(pts)
+        g_tk = jax.grad(
+            lambda p: jnp.vdot(jnp.take(p, idx, axis=0), ct))(pts)
+        np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_tk),
+                                   atol=1e-6, rtol=1e-6)

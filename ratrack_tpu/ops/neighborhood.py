@@ -27,13 +27,52 @@ _BIG = jnp.float32(1e10)
 _TOPK_CHUNK = 16
 
 
+def top_k_extract(keys: jnp.ndarray, k: int):
+    """Stable top-k by k first-max extraction passes (sort-free).
+
+    Matches jax.lax.top_k exactly (values, indices, stable lowest-index
+    tie order, and gradient routing via the final regather) for every slot
+    whose value is finite. Slots that land on -inf padding may report a
+    different — equally invalid — index than top_k (repeated extraction
+    re-selects the first -inf); every caller here (ball_query, knn,
+    three_nn) overwrites those slots with its own fallback rule before
+    use.
+
+    Why: inside large TPU programs XLA assigns the sort a hostile
+    non-minor layout (~300 µs per (8,512,512) sort measured in the train
+    step vs ~15 µs for these elementwise/reduce passes, which have no
+    layout constraint).
+    """
+    cols = jax.lax.broadcasted_iota(jnp.int32, keys.shape,
+                                    keys.ndim - 1)
+    x = jax.lax.stop_gradient(keys)
+    idxs, vals = [], []
+    for _ in range(k):
+        m = jnp.max(x, axis=-1, keepdims=True)
+        j = jnp.argmax(x == m, axis=-1)
+        sel = cols == j[..., None]
+        # value via masked sum over the ORIGINAL keys: forward equals the
+        # pass maximum; backward routes the slot's cotangent to exactly
+        # the selected entry (top_k's VJP) as dense elementwise math — a
+        # take_along_axis regather here puts a (M, N) scatter in the
+        # backward, which measurably dominates the train step
+        vals.append(jnp.sum(jnp.where(sel, keys, 0.0), axis=-1))
+        idxs.append(j)
+        x = jnp.where(sel, -jnp.inf, x)
+    return (jnp.stack(vals, axis=-1),
+            jnp.stack(idxs, axis=-1).astype(jnp.int32))
+
+
 def top_k_exact(keys: jnp.ndarray, k: int):
     """Exact descending top-k along the last axis, chunked for speed.
 
-    Equivalent to jax.lax.top_k (same stable lowest-index tie order): takes
-    the best _TOPK_CHUNK, masks them to -inf, repeats. Chunks only engage
-    for k > _TOPK_CHUNK.
+    Equivalent to jax.lax.top_k (same stable lowest-index tie order —
+    -inf-padding caveat in top_k_extract): on TPU, k extraction passes
+    avoid XLA's layout-hostile in-graph sorts; elsewhere lax.top_k,
+    chunked to its k <= 16 fast path.
     """
+    if jax.default_backend() == "tpu":
+        return top_k_extract(keys, k)
     if k <= _TOPK_CHUNK:
         return jax.lax.top_k(keys, k)
     vals, idxs = [], []

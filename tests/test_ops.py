@@ -1,6 +1,7 @@
 """Parity tests: masked JAX point ops vs NumPy oracles of the CUDA semantics."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ratrack_tpu import ops
@@ -190,3 +191,47 @@ class TestOneHotMatmulGather:
             lambda p: jnp.vdot(jnp.take(p, idx, axis=0), ct))(pts)
         np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_tk),
                                    atol=1e-6, rtol=1e-6)
+
+
+class TestTopKExtract:
+    """Sort-free stable top-k: must match lax.top_k on finite slots."""
+
+    def test_matches_lax_topk_with_ties(self):
+        from ratrack_tpu.ops.neighborhood import top_k_extract
+        rng = np.random.RandomState(0)
+        keys = rng.randint(0, 50, size=(7, 64)).astype(np.float32)  # ties
+        for k in (1, 3, 16, 32):
+            v1, i1 = jax.lax.top_k(jnp.asarray(keys), k)
+            v2, i2 = top_k_extract(jnp.asarray(keys), k)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_batched_3d(self):
+        from ratrack_tpu.ops.neighborhood import top_k_extract
+        rng = np.random.RandomState(1)
+        keys = rng.randn(2, 5, 40).astype(np.float32)
+        v1, i1 = jax.lax.top_k(jnp.asarray(keys), 4)
+        v2, i2 = top_k_extract(jnp.asarray(keys), 4)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_finite_slots_with_neginf_padding(self):
+        from ratrack_tpu.ops.neighborhood import top_k_extract
+        keys = np.full((3, 16), -np.inf, np.float32)
+        keys[0, 5] = 2.0
+        keys[0, 9] = 1.0
+        keys[2, 0] = 7.0
+        v, i = top_k_extract(jnp.asarray(keys), 4)
+        v, i = np.asarray(v), np.asarray(i)
+        assert (v[0, :2] == [2.0, 1.0]).all() and (i[0, :2] == [5, 9]).all()
+        assert v[2, 0] == 7.0 and i[2, 0] == 0
+        assert np.all(v[0, 2:] == -np.inf) and np.all(v[1] == -np.inf)
+
+    def test_gradient_routes_to_selected(self):
+        import jax as _jax
+        from ratrack_tpu.ops.neighborhood import top_k_extract
+        keys = jnp.asarray(np.array([[3.0, 1.0, 3.0, 2.0]], np.float32))
+        # tie at 3.0: stable order selects index 0 first, then index 2
+        g = _jax.grad(lambda x: top_k_extract(x, 2)[0].sum())(keys)
+        np.testing.assert_array_equal(np.asarray(g),
+                                      [[1.0, 0.0, 1.0, 0.0]])

@@ -200,3 +200,65 @@ class TestEquivalenceVsEvalPath:
         # across resets — reference keeps max_id global, track4d.py:45)
         assert np.array_equal(out1.labels, out2.labels)
         assert not (set(fresh.tolist()) & used)
+
+
+class TestConcurrency:
+    def test_threaded_submitters_single_stepper(self, model_and_vars):
+        """The documented multi-producer pattern: N threads submit to
+        their own streams; one coordinator steps. The lock must keep
+        staging consistent and results complete."""
+        import threading
+        model, variables = model_and_vars
+        svc = RadarTracker(model, variables, n_max=N, max_streams=4)
+        sids = [svc.open_stream() for _ in range(4)]
+        scans = {sid: clip_scans(10 + i)[0] for i, sid in enumerate(sids)}
+        got = {sid: [] for sid in sids}
+
+        for t in range(T + 1):
+            ready = []
+
+            def submit_one(sid):
+                if svc.submit(sid, scans[sid][t]):
+                    ready.append(sid)
+
+            threads = [threading.Thread(target=submit_one, args=(sid,))
+                       for sid in sids]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            if ready:
+                res = svc.step()
+                assert set(res) == set(ready)
+                for sid in ready:
+                    got[sid].append(res[sid])
+
+        for sid in sids:
+            assert len(got[sid]) == T
+            for out in got[sid]:
+                assert out.labels.shape == (N,)
+
+    def test_solo_equals_threaded(self, model_and_vars):
+        """Thread-staged lockstep == solo run (state isolation under the
+        coordinator pattern)."""
+        import threading
+        model, variables = model_and_vars
+        scans, _ = clip_scans(11)
+        svc1 = RadarTracker(model, variables, n_max=N, max_streams=2)
+        s1 = svc1.open_stream()
+        solo = [o for o in (svc1.track(s1, sc) for sc in scans) if o]
+
+        svc2 = RadarTracker(model, variables, n_max=N, max_streams=2)
+        s2 = svc2.open_stream()
+        outs = []
+        for sc in scans:
+            ready = []
+            th = threading.Thread(
+                target=lambda: ready.append(svc2.submit(s2, sc)))
+            th.start(); th.join()
+            if ready[0]:
+                outs.append(svc2.step()[s2])
+        assert len(solo) == len(outs)
+        for a, b in zip(solo, outs):
+            assert np.array_equal(a.labels, b.labels)
+            assert np.array_equal(a.track_id, b.track_id)

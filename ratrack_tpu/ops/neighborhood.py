@@ -63,15 +63,52 @@ def top_k_extract(keys: jnp.ndarray, k: int):
             jnp.stack(idxs, axis=-1).astype(jnp.int32))
 
 
-def top_k_exact(keys: jnp.ndarray, k: int):
+_TOURN_BLOCK = 512
+
+
+def top_k_blocked(keys: jnp.ndarray, k: int):
+    """Exact top-k over wide rows via a two-level tournament.
+
+    k extraction passes over an (N, M) matrix re-stream it k times
+    (~17 ms at 8192×8192, HBM-bound). The tournament reads it ONCE:
+    per-512-block top-k (extraction over narrow blocks), then top-k of
+    the nb·k finalists. Exact incl. the stable lowest-global-index tie
+    order: finalists are laid out block-major and within-block rank
+    order, so the stage-2 stable first-max always lands on the lowest
+    global index among equal values. Gradients route through both
+    masked-sum stages to exactly the selected entries.
+    """
+    *lead, n = keys.shape
+    kb = min(k, _TOURN_BLOCK)
+    nb = -(-n // _TOURN_BLOCK)
+    pad = nb * _TOURN_BLOCK - n
+    if pad:
+        keys = jnp.pad(keys, [(0, 0)] * len(lead) + [(0, pad)],
+                       constant_values=-jnp.inf)
+    blocks = keys.reshape(*lead, nb, _TOURN_BLOCK)
+    v1, i1 = top_k_extract(blocks, kb)                   # (..., nb, kb)
+    gi = i1 + (jnp.arange(nb, dtype=jnp.int32)
+               * _TOURN_BLOCK)[..., :, None]
+    v2, i2 = top_k_extract(v1.reshape(*lead, nb * kb), k)
+    idx = jnp.take_along_axis(gi.reshape(*lead, nb * kb), i2, axis=-1)
+    # -inf-padding slots may point past n (caller-discarded); keep the
+    # index in range for downstream gathers
+    return v2, jnp.minimum(idx, n - 1)
+
+
+def top_k_exact(keys: jnp.ndarray, k: int, wide_tournament: bool = True):
     """Exact descending top-k along the last axis, chunked for speed.
 
     Equivalent to jax.lax.top_k (same stable lowest-index tie order —
     -inf-padding caveat in top_k_extract): on TPU, k extraction passes
-    avoid XLA's layout-hostile in-graph sorts; elsewhere lax.top_k,
-    chunked to its k <= 16 fast path.
+    avoid XLA's layout-hostile in-graph sorts; wide rows use the blocked
+    tournament unless `wide_tournament=False` (inside lax.map tiles the
+    tournament's reshapes measurably LOSE — knn_chunked opts out).
+    Elsewhere lax.top_k, chunked to its k <= 16 fast path.
     """
     if jax.default_backend() == "tpu":
+        if wide_tournament and keys.shape[-1] >= 4 * _TOURN_BLOCK:
+            return top_k_blocked(keys, k)
         return top_k_extract(keys, k)
     if k <= _TOPK_CHUNK:
         return jax.lax.top_k(keys, k)
@@ -114,7 +151,8 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
 
 
 def knn(k: int, query: jnp.ndarray, points: jnp.ndarray,
-        points_mask: jnp.ndarray | None = None):
+        points_mask: jnp.ndarray | None = None,
+        wide_tournament: bool = True):
     """k nearest neighbors of `query` among valid `points`.
 
     Reference: `knn_point` (model_utils.py:85-99) — torch.topk over the dense
@@ -136,7 +174,7 @@ def knn(k: int, query: jnp.ndarray, points: jnp.ndarray,
     d = square_distance(query, points)  # (N, M)
     if points_mask is not None:
         d = jnp.where(points_mask[None, :], d, _BIG)
-    neg_d, idx = top_k_exact(-d, k)
+    neg_d, idx = top_k_exact(-d, k, wide_tournament)
     dist2 = -neg_d
     if points_mask is not None:
         nbr_valid = dist2 < _BIG
@@ -202,7 +240,7 @@ def knn_chunked(k: int, query: jnp.ndarray, points: jnp.ndarray,
     qp = jnp.zeros((n_pad, query.shape[1]), query.dtype).at[:n].set(query)
 
     def one(q_tile):
-        return knn(k, q_tile, points, points_mask)
+        return knn(k, q_tile, points, points_mask, wide_tournament=False)
 
     d2, idx = jax.lax.map(one, qp.reshape(-1, chunk, query.shape[1]))
     return (d2.reshape(n_pad, k)[:n], idx.reshape(n_pad, k)[:n])

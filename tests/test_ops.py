@@ -235,3 +235,48 @@ class TestTopKExtract:
         g = _jax.grad(lambda x: top_k_extract(x, 2)[0].sum())(keys)
         np.testing.assert_array_equal(np.asarray(g),
                                       [[1.0, 0.0, 1.0, 0.0]])
+
+
+class TestTopKBlocked:
+    """Two-level tournament == lax.top_k exactly (values, indices, stable
+    global tie order), incl. non-multiple widths and padding rows."""
+
+    def test_matches_lax_topk(self):
+        from ratrack_tpu.ops.neighborhood import top_k_blocked
+        rng = np.random.RandomState(0)
+        keys = rng.randn(17, 2048).astype(np.float32)
+        for k in (3, 16, 32):
+            v1, i1 = jax.lax.top_k(jnp.asarray(keys), k)
+            v2, i2 = top_k_blocked(jnp.asarray(keys), k)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_cross_block_ties_lowest_global_index(self):
+        from ratrack_tpu.ops.neighborhood import top_k_blocked
+        keys = np.zeros((1, 2048), np.float32)
+        # equal maxima in blocks 3, 0, 1 -> indices must come back sorted
+        keys[0, 1700] = 5.0
+        keys[0, 30] = 5.0
+        keys[0, 800] = 5.0
+        keys[0, 31] = 4.0
+        v, i = top_k_blocked(jnp.asarray(keys), 4)
+        np.testing.assert_array_equal(np.asarray(i)[0], [30, 800, 1700, 31])
+        np.testing.assert_array_equal(np.asarray(v)[0], [5, 5, 5, 4])
+
+    def test_non_multiple_width(self):
+        from ratrack_tpu.ops.neighborhood import top_k_blocked
+        rng = np.random.RandomState(1)
+        keys = rng.randn(5, 2048 + 300).astype(np.float32)
+        v1, i1 = jax.lax.top_k(jnp.asarray(keys), 8)
+        v2, i2 = top_k_blocked(jnp.asarray(keys), 8)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_gradient_routes_through_tournament(self):
+        from ratrack_tpu.ops.neighborhood import top_k_blocked
+        rng = np.random.RandomState(2)
+        keys = jnp.asarray(rng.randn(3, 2048).astype(np.float32))
+        g1 = jax.grad(lambda x: jax.lax.top_k(x, 5)[0].sum())(keys)
+        g2 = jax.grad(lambda x: top_k_blocked(x, 5)[0].sum())(keys)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-6)

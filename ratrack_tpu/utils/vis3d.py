@@ -497,3 +497,63 @@ function frame(){
 frame();
 </script></body></html>
 """
+
+
+def main(argv=None):
+    """CLI: render a VoD frame (and optionally tracker results) to HTML.
+
+    The reference's 3D view only exists inside Jupyter notebooks
+    (vis_3d.py used via the devkit notebooks); this makes the same scene
+    a one-liner:
+
+        python -m ratrack_tpu.utils.vis3d --dataset <vod root> \\
+            --frame 00549 --out frame.html [--origin camera] \\
+            [--lidar] [--velocity] [--no-annotations] \\
+            [--results results/<clip>/00549.txt]
+    """
+    import argparse
+    p = argparse.ArgumentParser(description=main.__doc__.splitlines()[0])
+    p.add_argument("--dataset", required=True, help="VoD root directory")
+    p.add_argument("--frame", required=True, help="frame number, e.g. 00549")
+    p.add_argument("--out", required=True, help="output .html path")
+    p.add_argument("--origin", default="camera",
+                   choices=("camera", "lidar", "radar"))
+    p.add_argument("--lidar", action="store_true",
+                   help="include the lidar cloud")
+    p.add_argument("--velocity", action="store_true",
+                   help="radar radial-velocity vectors")
+    p.add_argument("--no-annotations", action="store_true")
+    p.add_argument("--results", default=None,
+                   help="per-frame tracker dump (eval/export format) to "
+                        "overlay as id-colored track points")
+    args = p.parse_args(argv)
+
+    from ..data.vod import VodLocations
+    frame = FrameData(VodLocations(args.dataset), args.frame)
+    vis = Visualization3D(frame, origin=args.origin)
+    vis.draw_plot(
+        radar_origin_plot=True, lidar_origin_plot=True,
+        camera_origin_plot=True, radar_points_plot=True,
+        lidar_points_plot=args.lidar, radar_velocity_plot=args.velocity,
+        annotations_plot=not args.no_annotations)
+    if args.results:
+        from ..eval.export import parse_frame_results
+        tracks = parse_frame_results(args.results)
+        # dumps are in the radar frame; map into the chosen origin
+        t = vis.transform_matrices["radar"]
+        for conf, tid, pts in tracks:
+            vis.scene.add_points(
+                transform_points(pts.astype(np.float64), t),
+                color=track_color(tid), size=0.35, name=f"track:{tid}")
+            if pts.shape[0]:
+                center = transform_points(
+                    pts.mean(axis=0, keepdims=True).astype(np.float64), t)
+                vis.scene.add_text(center[0], f"id {tid} ({conf:.2f})",
+                                   track_color(tid))
+    out = vis.scene.to_html(args.out)
+    print(f"wrote {out} ({len(vis.scene.points)} point sets, "
+          f"{len(vis.scene.lines)} line sets)")
+
+
+if __name__ == "__main__":
+    main()

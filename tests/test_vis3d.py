@@ -227,3 +227,32 @@ class TestVisualization3DRealData:
         n_valid = sum(1 for l in lines if len(l.split(" ")) >= 15)
         assert len(parsed) == n_valid
         assert [p.id for p in parsed] == list(range(len(parsed)))
+
+
+GOLDEN_DIR = "/root/reference/src/result/4dmot_runthis/delft_1"
+
+
+@needs_example_set
+class TestCLI:
+    def test_cli_frame_with_golden_tracks(self, tmp_path):
+        from ratrack_tpu.utils.vis3d import main
+        out = str(tmp_path / "f.html")
+        args = ["--dataset", EXAMPLE_SET, "--frame", FRAMES[0],
+                "--out", out, "--origin", "radar", "--velocity"]
+        golden = os.path.join(GOLDEN_DIR, "00010.txt")
+        if os.path.exists(golden):
+            args += ["--results", golden]
+        main(args)
+        data = parse_scene_html(out)
+        names = [p["name"] for p in data["points"]]
+        assert "radar" in names
+        if os.path.exists(golden):
+            tracks = [p for p in data["points"]
+                      if p["name"].startswith("track:")]
+            assert tracks
+            # in the radar origin the dump coordinates pass through
+            # an identity transform
+            from ratrack_tpu.eval.export import parse_frame_results
+            ref = parse_frame_results(golden)
+            got = np.array(tracks[0]["xyz"]).reshape(-1, 3)
+            assert np.allclose(got, ref[0][2], atol=1e-4)

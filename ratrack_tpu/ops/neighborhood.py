@@ -189,7 +189,8 @@ def knn(k: int, query: jnp.ndarray, points: jnp.ndarray,
 
 def ball_query(radius: float, nsample: int, points: jnp.ndarray,
                centers: jnp.ndarray,
-               points_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+               points_mask: jnp.ndarray | None = None,
+               wide_tournament: bool = True) -> jnp.ndarray:
     """Fixed-size radius query with the reference kernel's exact padding rule.
 
     Reference CUDA semantics (ball_query_gpu.cu:28-44):
@@ -216,7 +217,8 @@ def ball_query(radius: float, nsample: int, points: jnp.ndarray,
     # compile time and a scatter is slow on TPU).
     cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     keys = jnp.where(hit, -cols.astype(jnp.float32), -jnp.float32(jnp.inf))
-    vals, idx = top_k_exact(keys, nsample)     # descending → ascending col
+    vals, idx = top_k_exact(keys, nsample,
+                            wide_tournament)   # descending → ascending col
     found = vals > -jnp.float32(jnp.inf)
     # CUDA padding rule: every slot is pre-filled with the first hit
     # (ball_query_gpu.cu:34-41); no hit at all -> 0 (kernel zero-init).
@@ -264,7 +266,9 @@ def ball_query_chunked(radius: float, nsample: int, points: jnp.ndarray,
                    centers.dtype).at[:m].set(centers)
 
     def one(c_tile):
-        return ball_query(radius, nsample, points, c_tile, points_mask)
+        # tournament reshapes lose inside lax.map tiles (see knn_chunked)
+        return ball_query(radius, nsample, points, c_tile, points_mask,
+                          wide_tournament=False)
 
     idx = jax.lax.map(one, cp.reshape(-1, chunk, centers.shape[1]))
     return idx.reshape(m_pad, nsample)[:m]

@@ -15,7 +15,8 @@ Protocol (all reference citations into /root/reference):
     x outside [-4, 4] or z > 25 m (:71-80, custom_method=3);
   * overlaps — image bbox IoU (:119-148), BEV rotated IoU over camera
     (x, z) with dims (l, w) (rotate_iou_cpu.py convention,
-    :433-446 calculate_iou_partly metric 1; GT rotations get the +0.01
+    :433-446 calculate_iou_partly metric 1; the +0.01 rotation nudge
+    lands on the DETECTIONS (the :533 call site swaps the arguments)
     perturbation of :440), 3D IoU = BEV intersection x camera-y extent
     overlap (:156-188);
   * matching/statistics — compute_statistics_jit (:191-331): per-GT
@@ -108,8 +109,12 @@ def load_annotations(label_dir: str,
 # overlaps
 # ---------------------------------------------------------------------------
 
-def image_box_overlap(boxes: np.ndarray, query: np.ndarray) -> np.ndarray:
-    """Pixel-box IoU (kitti_official_evaluate.py:119-148), (N, K)."""
+def image_box_overlap(boxes: np.ndarray, query: np.ndarray,
+                      criterion: int = -1) -> np.ndarray:
+    """Pixel-box overlap (kitti_official_evaluate.py:119-148), (N, K).
+
+    criterion -1 -> IoU; 0 -> intersection / boxes-row area (the
+    reference's don't-care suppression mode, :308)."""
     n, k = boxes.shape[0], query.shape[0]
     out = np.zeros((n, k))
     if n == 0 or k == 0:
@@ -121,6 +126,8 @@ def image_box_overlap(boxes: np.ndarray, query: np.ndarray) -> np.ndarray:
     inter = np.where((iw > 0) & (ih > 0), iw * ih, 0.0)
     a1 = ((boxes[:, 2] - boxes[:, 0])
           * (boxes[:, 3] - boxes[:, 1]))[:, None]
+    if criterion == 0:
+        return inter / np.maximum(np.broadcast_to(a1, inter.shape), 1e-12)
     a2 = ((query[:, 2] - query[:, 0]) * (query[:, 3] - query[:, 1]))[None]
     return inter / np.maximum(a1 + a2 - inter, 1e-12)
 
@@ -210,9 +217,12 @@ def rotate_iou(boxes: np.ndarray, query: np.ndarray,
 def _bev_boxes(ann: Dict[str, np.ndarray], perturb_rot: bool) -> np.ndarray:
     """(x, z, l, w, ry) camera-BEV boxes (calculate_iou_partly metric 1).
 
-    `perturb_rot` reproduces the reference's GT-side +0.01 rotation
-    nudge (kitti_official_evaluate.py:440,418) that avoids degenerate
-    identical-box intersections."""
+    `perturb_rot` reproduces the reference's +0.01 rotation nudge.
+    NOTE the nudge lands on the DETECTION side: the reference's
+    calculate_iou_partly perturbs its first argument
+    (kitti_official_evaluate.py:414/424/437), and the :533 call site
+    passes (dt_annotations, gt_annotations) — swapped against the
+    signature — so the perturbed "gt_boxes" are the detections."""
     rot = ann["rotation_y"] + (0.01 if perturb_rot else 0.0)
     return np.concatenate([ann["location"][:, [0, 2]],
                            ann["dimensions"][:, [0, 2]],
@@ -223,8 +233,8 @@ def d3_box_overlap(gt_ann, dt_ann) -> np.ndarray:
     """3D IoU (d3_box_overlap, kitti_official_evaluate.py:156-188):
     BEV rotated intersection x camera-y extent overlap / volume union.
     Rows = dt, cols = gt (calculate_iou_partly argument order)."""
-    dt_bev = _bev_boxes(dt_ann, perturb_rot=False)
-    gt_bev = _bev_boxes(gt_ann, perturb_rot=True)
+    dt_bev = _bev_boxes(dt_ann, perturb_rot=True)   # nudge on DT (:533)
+    gt_bev = _bev_boxes(gt_ann, perturb_rot=False)
     inter_bev = rotate_iou(dt_bev, gt_bev, criterion=2)
     out = np.zeros_like(inter_bev)
     for i in range(dt_bev.shape[0]):
@@ -248,10 +258,10 @@ def d3_box_overlap(gt_ann, dt_ann) -> np.ndarray:
 def frame_overlaps(gt_ann, dt_ann, metric: int) -> np.ndarray:
     """(n_dt, n_gt) overlap matrix for one frame at the given metric."""
     if metric == 0:
-        return image_box_overlap(dt_ann["bbox"], gt_ann["bbox"] + 0.01)
+        return image_box_overlap(dt_ann["bbox"] + 0.01, gt_ann["bbox"])
     if metric == 1:
-        return rotate_iou(_bev_boxes(dt_ann, False), _bev_boxes(gt_ann,
-                                                                True))
+        return rotate_iou(_bev_boxes(dt_ann, True), _bev_boxes(gt_ann,
+                                                               False))
     if metric == 2:
         return d3_box_overlap(gt_ann, dt_ann)
     raise ValueError(metric)
@@ -374,7 +384,10 @@ def compute_statistics(overlaps, gt_ann, dt_ann, ignored_gt, ignored_dt,
                 fp += 1
         if metric == 0 and dc_bboxes.shape[0]:
             # don't-care suppression on the image metric (:299-313)
-            dc_overlap = image_box_overlap(dt_ann["bbox"], dc_bboxes)
+            # criterion=0: intersection over the DETECTION box area
+            # (kitti_official_evaluate.py:308), not IoU
+            dc_overlap = image_box_overlap(dt_ann["bbox"], dc_bboxes,
+                                           criterion=0)
             n_stuff = 0
             for i in range(dc_bboxes.shape[0]):
                 for j in range(det_size):

@@ -90,8 +90,8 @@ class RadarTracker:
 
             The eager path over the remote-TPU tunnel pays ~4 ms RTT PER
             ARRAY transferred; shipping the 14 FrameBatch leaves + pulling
-            5 outputs cost ~150 ms/frame. One packed upload and two packed
-            downloads keep the per-call latency at a few RTTs.
+            5 outputs cost ~150 ms/frame. One packed upload and one packed
+            download keep the per-call latency at the sync-RTT floor.
             """
             b, n = packed.shape[:2]
             zf = jnp.zeros((b, n), jnp.float32)
@@ -133,7 +133,6 @@ class RadarTracker:
             return out, kept
 
         self._step = jax.jit(batched_step)
-        self._empty = empty_frame(n_max, model.k_max)
 
     @classmethod
     def from_checkpoint(cls, cfg, ckpt_root: str, name: str = "last", **kw):

@@ -284,3 +284,44 @@ class TestConverter:
         assert (np.abs(ann["location"]) < 150).all()
         assert (ann["bbox"][:, 2] > ann["bbox"][:, 0]).all()
         assert (ann["bbox"][:, 3] > ann["bbox"][:, 1]).all()
+
+
+class TestReferenceQuirks:
+    """Pins the two subtle reference behaviors a side-swap would break."""
+
+    def test_rotation_nudge_lands_on_detections(self):
+        """The reference's calculate_iou_partly perturbs its FIRST arg,
+        and the :533 call site passes (dt, gt) — so IoU(dt_rot+0.01, gt),
+        not IoU(dt, gt_rot+0.01). Construct a BEV pair where the sides
+        differ and pin ours to the dt-side value."""
+        from ratrack_tpu.eval.detection_ap import frame_overlaps, rotate_iou
+        dt = dict(bbox=np.array([[0., 0., 10., 10.]]),
+                  location=np.array([[0.0, 1.0, 10.0]]),
+                  dimensions=np.array([[1.5, 1.0, 4.0]]),
+                  rotation_y=np.array([0.30]))
+        gt = dict(bbox=np.array([[0., 0., 10., 10.]]),
+                  location=np.array([[0.2, 1.0, 10.1]]),
+                  dimensions=np.array([[1.5, 1.1, 4.2]]),
+                  rotation_y=np.array([-0.25]))
+        def bev(ann, d):
+            return np.concatenate(
+                [ann["location"][:, [0, 2]], ann["dimensions"][:, [0, 2]],
+                 (ann["rotation_y"] + d)[:, None]], axis=1)
+        want = rotate_iou(bev(dt, 0.01), bev(gt, 0.0))[0, 0]
+        other = rotate_iou(bev(dt, 0.0), bev(gt, 0.01))[0, 0]
+        got = frame_overlaps(gt, dt, metric=1)[0, 0]
+        assert got == pytest.approx(want, abs=1e-12)
+        assert abs(want - other) > 1e-6      # the sides genuinely differ
+
+    def test_dontcare_uses_detection_area_criterion(self):
+        """Reference dc suppression: image_box_overlap(dt, dc, 0) =
+        intersection / dt area (kitti_official_evaluate.py:308). A small
+        detection inside a big DontCare region must be suppressed even
+        though its IoU with the region is tiny."""
+        from ratrack_tpu.eval.detection_ap import image_box_overlap
+        dt = np.array([[10., 10., 20., 20.]])      # 100 px²
+        dc = np.array([[0., 0., 200., 200.]])      # 40000 px²
+        by_iou = image_box_overlap(dt, dc)[0, 0]
+        by_dt_area = image_box_overlap(dt, dc, criterion=0)[0, 0]
+        assert by_iou < 0.01                       # IoU would NOT suppress
+        assert by_dt_area == pytest.approx(1.0)    # criterion=0 does

@@ -282,3 +282,26 @@ class TestFusedSAPair:
                                interpret=True)
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+class TestNonChunkMultipleClouds:
+    """n that is a multiple of 128 but NOT of 512 (e.g. 640) must work —
+    the gate only checks n % 128 == 0; an assert used to crash these."""
+
+    @pytest.mark.parametrize("n", [640, 768])
+    def test_parity_n_not_multiple_of_512(self, n):
+        from ratrack_tpu.ops.pallas_sa import fused_sa_pair
+        xyz, feat, mask, ws, bs = _case(11, n, 16, c1=16, c2=16)
+        r, ns = 4.0, 8
+        rows = _stable_rows(xyz, mask, r)
+        ref = np.asarray(sa_scale_reference(xyz, xyz, feat, mask, ws, bs,
+                                            radius=r, nsample=ns))
+        got = np.asarray(_fused(xyz, feat, mask, ws, bs, r, ns))
+        np.testing.assert_allclose(got[rows], ref[rows],
+                                   atol=1e-4, rtol=1e-4)
+        a2, b2 = fused_sa_pair(xyz, xyz, feat, mask, ws, bs, ws, bs,
+                               radius_a=r, radius_b=8.0,
+                               nsample_a=ns, nsample_b=16,
+                               compute_dtype=jnp.float32, precision=HI,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(a2), got)

@@ -422,14 +422,21 @@ def get_thresholds(scores: np.ndarray, num_gt: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def eval_class(gt_annos, dt_annos, cls_idx: int, metric: int,
-               roi: bool) -> np.ndarray:
-    """Precision curve (41 recall points) for one class/metric/area."""
+               roi: bool, overlaps=None) -> np.ndarray:
+    """Precision curve (41 recall points) for one class/metric/area.
+
+    `overlaps` (per-frame matrices) depend only on the metric — callers
+    evaluating several classes/areas precompute them once per metric
+    (as the reference's calculate_iou_partly does outside its loops);
+    the Python rotated-polygon clipping dominates the evaluation cost.
+    """
     assert len(gt_annos) == len(dt_annos)
     min_overlap = _MIN_OVERLAPS[metric, cls_idx]
     cleaned = [clean_frame(g, d, cls_idx, roi)
                for g, d in zip(gt_annos, dt_annos)]
-    overlaps = [frame_overlaps(g, d, metric)
-                for g, d in zip(gt_annos, dt_annos)]
+    if overlaps is None:
+        overlaps = [frame_overlaps(g, d, metric)
+                    for g, d in zip(gt_annos, dt_annos)]
     total_valid_gt = sum(c[0] for c in cleaned)
 
     all_thresholds = []
@@ -479,13 +486,15 @@ def official_evaluation(gt_annos, dt_annos,
     mAP_11 of the 3d and bev metrics at the second overlap table, for
     the entire annotated area and the driving-corridor ROI."""
     out = {"entire_area": {}, "roi": {}}
+    ov = {m: [frame_overlaps(g, d, m)
+              for g, d in zip(gt_annos, dt_annos)] for m in (1, 2)}
     for area, roi in (("entire_area", False), ("roi", True)):
         for name in classes:
             cls_idx = _VALID_CLASS_NAMES.index(name.lower())
             p3d = eval_class(gt_annos, dt_annos, cls_idx, metric=2,
-                             roi=roi)
+                             roi=roi, overlaps=ov[2])
             pbev = eval_class(gt_annos, dt_annos, cls_idx, metric=1,
-                              roi=roi)
+                              roi=roi, overlaps=ov[1])
             out[area][f"{name}_3d_all"] = map_11(p3d)
             out[area][f"{name}_bev_all"] = map_11(pbev)
             out[area][f"{name}_3d_all_R40"] = map_40(p3d)

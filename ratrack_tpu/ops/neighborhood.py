@@ -79,7 +79,14 @@ def top_k_blocked(keys: jnp.ndarray, k: int):
     masked-sum stages to exactly the selected entries.
     """
     *lead, n = keys.shape
-    kb = min(k, _TOURN_BLOCK)
+    if k > _TOURN_BLOCK:
+        # a single block can hold > _TOURN_BLOCK of the global top-k;
+        # capping kb would silently drop winners. Callers use k <= 32 —
+        # route any larger k through the flat extraction.
+        raise ValueError(
+            f"top_k_blocked requires k <= {_TOURN_BLOCK}; got k={k} "
+            "(use top_k_extract)")
+    kb = k
     nb = -(-n // _TOURN_BLOCK)
     pad = nb * _TOURN_BLOCK - n
     if pad:
@@ -107,7 +114,8 @@ def top_k_exact(keys: jnp.ndarray, k: int, wide_tournament: bool = True):
     Elsewhere lax.top_k, chunked to its k <= 16 fast path.
     """
     if jax.default_backend() == "tpu":
-        if wide_tournament and keys.shape[-1] >= 4 * _TOURN_BLOCK:
+        if (wide_tournament and k <= _TOURN_BLOCK
+                and keys.shape[-1] >= 4 * _TOURN_BLOCK):
             return top_k_blocked(keys, k)
         return top_k_extract(keys, k)
     if k <= _TOPK_CHUNK:

@@ -110,6 +110,11 @@ def take_rows_mm(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     the grouped MLP, the scatters do not).
     """
     n = points.shape[0]
+    # clamp to the edge row like jnp.take's default TPU mode — without it
+    # an out-of-range index yields an all-zero row and silently breaks
+    # the bit-exact-to-take contract (all current callers are in range;
+    # the clamp is one cheap elementwise op).
+    idx = jnp.clip(idx, 0, n - 1)
     oh = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
     out = jax.lax.dot(oh.astype(jnp.float32), points.astype(jnp.float32),
                       precision=jax.lax.Precision.HIGHEST,

@@ -195,91 +195,100 @@ class RadarTracker:
         """Stage one scan on a stream. Returns True when a frame pair is
         ready for the next step() (False for the stream's first scan)."""
         with self._lock:
-            self._check(sid)
-            if self._staged[sid] is not None:
-                raise RuntimeError(
-                    f"stream {sid} already has a staged scan; call step()")
-            scan = np.asarray(scan, np.float32)
-            if scan.ndim != 2 or scan.shape[1] < 5:
-                raise ValueError(
-                    f"scan must be (M, >=5) [x y z RCS v_r ...]; got "
-                    f"{scan.shape}")
-            if self._prev[sid] is None:
-                self._prev[sid] = scan
-                return False
-            self._staged[sid] = scan
-            return True
+            return self._submit_locked(sid, scan)
+
+    def _submit_locked(self, sid: int, scan: np.ndarray) -> bool:
+        self._check(sid)
+        if self._staged[sid] is not None:
+            raise RuntimeError(
+                f"stream {sid} already has a staged scan; call step()")
+        scan = np.asarray(scan, np.float32)
+        if scan.ndim != 2 or scan.shape[1] < 5:
+            raise ValueError(
+                f"scan must be (M, >=5) [x y z RCS v_r ...]; got "
+                f"{scan.shape}")
+        if self._prev[sid] is None:
+            self._prev[sid] = scan
+            return False
+        self._staged[sid] = scan
+        return True
 
     def step(self) -> Dict[int, TrackOutput]:
         """One device dispatch over every stream with a staged pair."""
+        with self._lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> Dict[int, TrackOutput]:
         import jax
         import jax.numpy as jnp
 
-        with self._lock:
-            staged = [(sid, self._staged[sid])
-                      for sid in range(self.max_streams)
-                      if self._staged[sid] is not None]
-            if not staged:
-                return {}
-            b, n = self.max_streams, self.n_max
-            packed = np.zeros((b, n, 12), np.float32)
-            flags = np.zeros((b, 2), np.float32)
-            for sid, _ in staged:
-                pc1, ft1, m1 = self._pad_scan(self._staged[sid])
-                pc2, ft2, m2 = self._pad_scan(self._prev[sid])
-                packed[sid, :, 0:3] = pc1
-                packed[sid, :, 3:6] = pc2
-                packed[sid, :, 6:8] = ft1
-                packed[sid, :, 8:10] = ft2
-                packed[sid, :, 10] = m1
-                packed[sid, :, 11] = m2
-                flags[sid] = (1.0, float(self._fresh[sid]))
-            out, self._states = self._step(
-                self._variables, self._states, jnp.asarray(packed),
-                jnp.asarray(flags))
-            out = np.asarray(out)
-            k = self.k_max
-            warp = out[:, :3 * n].reshape(b, n, 3)
-            cls = out[:, 3 * n:4 * n]
-            conf_all = out[:, 4 * n:4 * n + k]
-            ints = out[:, 4 * n + k:].view(np.int32)
-            labels_all = ints[:, :n]
-            tid_all = ints[:, n:n + k]
+        staged = [(sid, self._staged[sid])
+                  for sid in range(self.max_streams)
+                  if self._staged[sid] is not None]
+        if not staged:
+            return {}
+        b, n = self.max_streams, self.n_max
+        packed = np.zeros((b, n, 12), np.float32)
+        flags = np.zeros((b, 2), np.float32)
+        for sid, _ in staged:
+            pc1, ft1, m1 = self._pad_scan(self._staged[sid])
+            pc2, ft2, m2 = self._pad_scan(self._prev[sid])
+            packed[sid, :, 0:3] = pc1
+            packed[sid, :, 3:6] = pc2
+            packed[sid, :, 6:8] = ft1
+            packed[sid, :, 8:10] = ft2
+            packed[sid, :, 10] = m1
+            packed[sid, :, 11] = m2
+            flags[sid] = (1.0, float(self._fresh[sid]))
+        out, self._states = self._step(
+            self._variables, self._states, jnp.asarray(packed),
+            jnp.asarray(flags))
+        out = np.asarray(out)
+        k = self.k_max
+        warp = out[:, :3 * n].reshape(b, n, 3)
+        cls = out[:, 3 * n:4 * n]
+        conf_all = out[:, 4 * n:4 * n + k]
+        ints = out[:, 4 * n + k:].view(np.int32)
+        labels_all = ints[:, :n]
+        tid_all = ints[:, n:n + k]
 
-            results: Dict[int, TrackOutput] = {}
-            for sid, scan in staged:
-                labels = labels_all[sid]
-                tid = tid_all[sid]
-                pt_tid = np.where(labels >= 0,
-                                  tid[np.clip(labels, 0, self.k_max - 1)],
-                                  -1)
-                n_pts = int(min(np.asarray(scan).shape[0], self.n_max))
-                pc1 = np.zeros((self.n_max, 3), np.float32)
-                pc1[:n_pts] = np.asarray(scan, np.float32)[:n_pts, :3]
-                results[sid] = TrackOutput(
-                    labels=labels,
-                    point_track_id=pt_tid.astype(np.int32),
-                    track_id=tid,
-                    conf=conf_all[sid],
-                    moving=(cls[sid] > self.model.mov_thres)
-                    & (np.arange(self.n_max) < n_pts),
-                    flow=warp[sid] - pc1,
-                    n_points=n_pts,
-                    n_objects=int(np.sum(tid >= 0)),
-                )
-                self._prev[sid] = self._staged[sid]
-                self._staged[sid] = None
-                self._fresh[sid] = False
-            return results
+        results: Dict[int, TrackOutput] = {}
+        for sid, scan in staged:
+            labels = labels_all[sid]
+            tid = tid_all[sid]
+            pt_tid = np.where(labels >= 0,
+                              tid[np.clip(labels, 0, self.k_max - 1)],
+                              -1)
+            n_pts = int(min(np.asarray(scan).shape[0], self.n_max))
+            pc1 = np.zeros((self.n_max, 3), np.float32)
+            pc1[:n_pts] = np.asarray(scan, np.float32)[:n_pts, :3]
+            results[sid] = TrackOutput(
+                labels=labels,
+                point_track_id=pt_tid.astype(np.int32),
+                track_id=tid,
+                conf=conf_all[sid],
+                moving=(cls[sid] > self.model.mov_thres)
+                & (np.arange(self.n_max) < n_pts),
+                flow=warp[sid] - pc1,
+                n_points=n_pts,
+                n_objects=int(np.sum(tid >= 0)),
+            )
+            self._prev[sid] = self._staged[sid]
+            self._staged[sid] = None
+            self._fresh[sid] = False
+        return results
 
     def track(self, sid: int, scan: np.ndarray) -> Optional[TrackOutput]:
         """Low-latency single-stream convenience: submit + step.
 
-        Returns None for the stream's first scan (no pair yet). NOTE:
-        step() drains EVERY staged stream — in a multi-producer setup use
-        a coordinator that calls submit() for all producers then one
-        step(), rather than concurrent track() calls (results for streams
-        staged by other callers would be returned here, not to them)."""
-        if not self.submit(sid, scan):
-            return None
-        return self.step()[sid]
+        Returns None for the stream's first scan (no pair yet). Holds ONE
+        critical section across submit+step, so a concurrent caller's
+        step() can never drain this stream's pair out from under it (the
+        old lock gap crashed with KeyError). NOTE: the step still drains
+        every OTHER staged stream too — in a multi-producer setup prefer
+        a coordinator that submits for all producers then calls one
+        step(), so no staged result is dropped here."""
+        with self._lock:
+            if not self._submit_locked(sid, scan):
+                return None
+            return self._step_locked()[sid]

@@ -144,8 +144,12 @@ def match_structure(aff: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray,
     identity — so the pipelined eval path computes it batched over B×T.
     """
     k = aff.shape[0]
+    # safe_lse=False is justified HERE: aff entries are sigmoid outputs in
+    # (0, 1) and alpha is the 0.9 bin score — the _lse_bounded operand
+    # bound holds (see its docstring); arbitrary callers get the safe
+    # default on the public API.
     z = log_optimal_transport_masked(aff, m, n, alpha, iters,
-                                     tol=sinkhorn_tol)
+                                     tol=sinkhorn_tol, safe_lse=False)
     scores = z[:k, :k]
     row_ok = jnp.arange(k) < m
     col_ok = jnp.arange(k) < n

@@ -57,7 +57,7 @@ def log_optimal_transport_masked(scores: jnp.ndarray, m: jnp.ndarray,
                                  n: jnp.ndarray, alpha: jnp.ndarray,
                                  iters: int,
                                  tol: float = 0.0,
-                                 safe_lse: bool = False) -> jnp.ndarray:
+                                 safe_lse: bool = True) -> jnp.ndarray:
     """Masked log-OT.
 
     Args:
@@ -72,10 +72,11 @@ def log_optimal_transport_masked(scores: jnp.ndarray, m: jnp.ndarray,
         typically converges in tens of iterations — the reference's fixed
         500 burn most of the step's wall clock. 0 keeps exact reference
         iteration-count parity.
-      safe_lse: use the two-pass max-subtracted log-sum-exp instead of
-        the bounded single-pass one (see _lse_bounded — the default is
-        valid for affinity-scored instances; pass True for arbitrary
-        score magnitudes).
+      safe_lse: True (default) = the two-pass max-subtracted log-sum-exp,
+        safe for arbitrary score magnitudes. False = the bounded
+        single-pass LSE (see _lse_bounded), valid only when finite scores
+        are O(1) (sigmoid affinities + a modest bin α) — the
+        affinity-scored association call site opts in explicitly.
     Returns:
       (K+1, K+1) log-coupling Z with the dustbin at index K; invalid
       entries ≈ -1e9.

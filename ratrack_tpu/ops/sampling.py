@@ -97,29 +97,79 @@ def identity_gather(points: jnp.ndarray,
     return jnp.where(keep, points, seed_row[None, :])
 
 
+def _bf16_parts(v: jnp.ndarray):
+    """Split f32 into exactly-bf16-representable parts, Σ parts == v.
+
+    Round-to-nearest bf16 leaves a residual of ≤ 15 significant bits;
+    one more split leaves ≤ 6 — so (hi, mid, lo) are each exact in bf16
+    and hi + mid + lo reassembles v bit-exactly in f32 (the partial sums
+    carry ≤ 18 and ≤ 24 significand bits). Exact for normal f32 inputs
+    (|v| ≳ 1e-33; below that the lo part can denormal-flush in bf16 —
+    irrelevant for coordinates/features/cotangents).
+    """
+    hi = v.astype(jnp.bfloat16)
+    r = v - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+@jax.custom_vjp
 def take_rows_mm(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Row gather (N, C) × (M,) → (M, C) as an exact one-hot matmul.
 
-    Forward: onehot(idx) @ points at HIGHEST precision — each output row
-    sums exactly one product 1.0 × v, so it is bit-exact to jnp.take for
-    any dtype. Backward (autodiff of the dot): onehotᵀ @ cotangent — the
+    Forward: onehot over a 3×-tiled point axis × the stacked bf16 split
+    parts (_bf16_parts) in ONE single-pass bf16 MXU dot — each output
+    row sums exactly the three products 1.0 × (hi, mid, lo), so it is
+    bit-exact to jnp.take for f32/bf16 inputs (equal to the HIGHEST
+    one-hot matmul, measured) at 3 effective MXU passes instead of 6.
+    Backward (custom VJP): onehotᵀ @ cotangent at HIGHEST — the
     scatter-add the reference hand-writes in CUDA
-    (group_points_gpu.cu:51-86), but as an MXU matmul. Motivation: under
-    grad the take-based gathers plus their scatter-add backwards are 55%
-    of the profiled TRAIN step device time on TPU (the forwards fuse into
-    the grouped MLP, the scatters do not).
+    (group_points_gpu.cu:51-86) as an MXU matmul; the stacked-bf16 form
+    measures SLOWER here (the 3×-contraction one-hot regeneration beats
+    the pass saving: 2.9 vs 1.6 ms at the (8,16384,512)×64 train shape).
+    Motivation: under grad the take-based gathers plus their scatter-add
+    backwards are 55% of the profiled TRAIN step device time on TPU (the
+    forwards fuse into the grouped MLP, the scatters do not).
     """
+    out, _ = _take_rows_mm_fwd(points, idx)
+    return out
+
+
+def _take_rows_mm_fwd(points, idx):
     n = points.shape[0]
     # clamp to the edge row like jnp.take's default TPU mode — without it
     # an out-of-range index yields an all-zero row and silently breaks
     # the bit-exact-to-take contract (all current callers are in range;
     # the clamp is one cheap elementwise op).
     idx = jnp.clip(idx, 0, n - 1)
+    if points.dtype == jnp.bfloat16:   # exact in one un-split pass
+        oh = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
+        out = jax.lax.dot(oh.astype(jnp.bfloat16), points,
+                          preferred_element_type=jnp.float32)
+    else:
+        oh3 = (idx[:, None] == (jnp.arange(3 * n, dtype=idx.dtype)
+                                % n)[None, :]).astype(jnp.bfloat16)
+        vstack = jnp.concatenate(
+            _bf16_parts(points.astype(jnp.float32)), axis=0)  # (3N, C)
+        out = jax.lax.dot(oh3, vstack,
+                          preferred_element_type=jnp.float32)
+    return out.astype(points.dtype), (points, idx)
+
+
+def _take_rows_mm_bwd(res, g):
+    points, idx = res
+    n, dtype = points.shape[0], points.dtype
     oh = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
-    out = jax.lax.dot(oh.astype(jnp.float32), points.astype(jnp.float32),
-                      precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)
-    return out.astype(points.dtype)
+    dp = jax.lax.dot_general(
+        oh.astype(jnp.float32), g.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return dp.astype(dtype), None
+
+
+take_rows_mm.defvjp(_take_rows_mm_fwd, _take_rows_mm_bwd)
 
 
 # one-hot footprint cap: idx.size × N f32 elements (64 MB). The live

@@ -32,7 +32,13 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None,
-                 use_running_average: bool = False) -> jnp.ndarray:
+                 use_running_average: bool = False,
+                 override_stats=None) -> jnp.ndarray:
+        """`override_stats=(mean, var, count)` feeds externally computed
+        batch statistics (e.g. from a fused train kernel that never
+        materializes the normalized tensor here): normalization of `x`
+        and the running-average update use them instead of moments of
+        `x`. Ignored when `use_running_average` is set."""
         c = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
@@ -43,6 +49,17 @@ class MaskedBatchNorm(nn.Module):
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif override_stats is not None:
+            mean, var, count = override_stats
+            mean = mean.astype(jnp.float32)
+            var = jnp.maximum(var.astype(jnp.float32), 0.0)
+            count = jnp.asarray(count, jnp.float32)
+            if not self.is_initializing():
+                unbias = count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * var * unbias)
         else:
             xf = x.astype(jnp.float32)
             red = tuple(range(x.ndim - 1))
@@ -87,14 +104,25 @@ class PointwiseMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = True):
+    def __call__(self, x, mask=None, train: bool = True,
+                 override_stats=None):
+        """`override_stats=(means, vars, count)` registers externally
+        computed per-layer batch statistics on each BN's running
+        averages (fused-train path); `x` should then be a dummy of the
+        right channel count — the returned activations are meaningless
+        and the caller uses the fused kernel's output instead."""
         n_layers = len(self.features)
         for i, f in enumerate(self.features):
             x = nn.Dense(f, use_bias=not self.bn, dtype=self.dtype,
                          name=f"dense_{i}")(x)
             if self.bn:
+                ov = None
+                if override_stats is not None:
+                    ov = (override_stats[0][i], override_stats[1][i],
+                          override_stats[2])
                 x = MaskedBatchNorm(dtype=self.dtype, name=f"bn_{i}")(
-                    x, mask=mask, use_running_average=not train)
+                    x, mask=mask, use_running_average=not train,
+                    override_stats=ov)
             if self.last_act or i < n_layers - 1:
                 if self.act == "relu":
                     x = nn.relu(x)

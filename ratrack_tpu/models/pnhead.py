@@ -25,6 +25,7 @@ from ..ops import (furthest_point_sample, identity_sample,
                    three_interpolate_weights)
 from ..ops import pallas_sa
 from ..ops.pallas_sa import TILE_M, fold_bn_params, fused_sa_scale
+from ..ops.pallas_sa_train import fused_sa_scale_train
 from ..ops.pallas_fp import fused_three_interpolate
 from .layers import PointwiseMLP
 
@@ -51,6 +52,7 @@ class SetAbstractionMSG(nn.Module):
     exact_fps: bool = False
     dtype: jnp.dtype = jnp.float32
     fused_eval: bool = True
+    fused_train: bool = True
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True):
@@ -93,6 +95,36 @@ class SetAbstractionMSG(nn.Module):
             return new_xyz, jnp.concatenate(
                 [out_a.astype(self.dtype), out_b.astype(self.dtype)],
                 axis=-1)
+        # TRAIN path: one fused custom-VJP kernel per scale
+        # (ops/pallas_sa_train.py) replacing ball_query + one-hot
+        # gathers + Dense/train-BN stack + max-pool; BN running stats
+        # are registered via the module's override_stats dummy apply so
+        # the param/stat tree stays bit-compatible with the unfused path
+        fused_t = (train and self.fused_train
+                   and pallas_sa.fused_available()
+                   and n % 128 == 0 and self.npoint % 128 == 0
+                   and n <= 1024 and self.npoint <= 1024)
+        if fused_t:
+            outs = []
+            for s, (r, ns_s, mlp) in enumerate(
+                    zip(self.radii, self.nsamples, self.mlps)):
+                module = PointwiseMLP(mlp, bn=True, dtype=self.dtype,
+                                      name=f"mlp_{s}")
+                _ = module(jnp.zeros((1, 1, c_in), self.dtype),
+                           train=False)
+                p = module.variables["params"]
+                ws = [p[f"dense_{i}"]["kernel"] for i in range(len(mlp))]
+                scs = [p[f"bn_{i}"]["scale"] for i in range(len(mlp))]
+                bss = [p[f"bn_{i}"]["bias"] for i in range(len(mlp))]
+                pooled, mus, vrs = fused_sa_scale_train(
+                    xyz, new_xyz, features, mask, ws, scs, bss,
+                    radius=r, nsample=ns_s)
+                module(jnp.zeros((1, 1, c_in), self.dtype), train=True,
+                       override_stats=(mus, vrs,
+                                       float(self.npoint * ns_s)))
+                outs.append(pooled.astype(self.dtype))
+            return new_xyz, jnp.concatenate(outs, axis=-1)
+
         outs = []
         for s, (r, ns, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
@@ -166,21 +198,25 @@ class PNHead(nn.Module):
     exact_fps: bool = False
     dtype: jnp.dtype = jnp.float32
     fused_eval: bool = True
+    fused_train: bool = True
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True):
         sa1 = SetAbstractionMSG(self.npoint, [2., 4.], [4, 8],
                                 [[16, 16, 32], [16, 16, 32]],
                                 self.exact_fps, self.dtype,
-                                self.fused_eval, name="sa1")
+                                self.fused_eval, self.fused_train,
+                                name="sa1")
         sa2 = SetAbstractionMSG(self.npoint, [4., 8.], [8, 16],
                                 [[32, 32], [32, 64]],
                                 self.exact_fps, self.dtype,
-                                self.fused_eval, name="sa2")
+                                self.fused_eval, self.fused_train,
+                                name="sa2")
         sa3 = SetAbstractionMSG(self.npoint, [8., 16.], [16, 32],
                                 [[64, 64], [64, 64]],
                                 self.exact_fps, self.dtype,
-                                self.fused_eval, name="sa3")
+                                self.fused_eval, self.fused_train,
+                                name="sa3")
 
         l1_xyz, l1 = sa1(xyz, features, mask, train)
         l1 = nn.Dense(32, dtype=self.dtype, name="linear1")(l1)

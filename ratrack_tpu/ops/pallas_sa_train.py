@@ -1,0 +1,585 @@
+"""Fused set-abstraction scale for the TRAIN path, with a custom VJP.
+
+The eval-path kernel (ops/pallas_sa.py) cannot serve training because
+train-mode batch norm takes batch statistics over the *grouped* tensor
+including the CUDA duplicate-padding slots (reference SharedMLP
+`src/lib/pytorch_utils.py:5-33` on the output of QueryAndGroup
+`pointnet2_utils.py:269-292`), which the eval formulation deliberately
+never materializes — and because training needs the backward pass. This
+kernel is the train-side counterpart the reference implements as
+hand-written CUDA forwards/backwards (`src/lib/src/ball_query_gpu.cu:9-46`,
+`group_points_gpu.cu:8-86` with its scatter-add backward,
+`sampling_gpu.cu:40-83`) plus torch autograd for the MLP:
+
+  * ONE program holds the whole scale in VMEM (live config: M = N = 512
+    centers/points — npoint equals the pad budget), so train-mode BN's
+    global-over-(M·ns) statistics are plain in-kernel reductions;
+  * selection is the same sort-free rank compaction as the eval kernel
+    (hit mask → 0/1 upper-triangular prefix-count matmul), but ALL
+    nsample slots are materialized, with the CUDA padding rule applied
+    *by value*: slots past the hit count repeat the first hit, no hit at
+    all yields the (center, point 0) pair (ball_query_gpu.cu zero-init +
+    first-hit fill);
+  * layer 1 factorizes through the pair structure exactly as in the
+    eval kernel: g1[m,s] = P1[idx[m,s]] - CW[m], with P1/CW two small
+    HIGHEST matmuls hoisted outside;
+  * slot gathers are exact one-hot matmuls in ONE bf16 MXU pass against
+    the stacked 3-way bf16 split of P1 (see ops/sampling.py
+    _bf16_parts: each part is exactly bf16-representable, each output
+    sums exactly one (hi, mid, lo) triple);
+  * MLP layers 2..L run as bf16-operand dots — the same numerics class
+    as the unfused path's DEFAULT-precision f32 Dense (single bf16 MXU
+    pass);
+  * the backward kernel recomputes the forward (activations never touch
+    HBM), backpropagates max-pool (cotangent split evenly over ties,
+    matching jnp.max), ReLU (zero subgradient at 0, matching
+    jax.nn.relu), train-mode BN (the standard three-term batch backward)
+    and the Dense stack, then scatters dG1 back to dP1 with the exact
+    stacked-split one-hot transpose — including the duplicate-slot
+    routing (cotangents of repeated slots flow to the first hit; no-hit
+    rows flow to point 0).
+
+Numerics vs the unfused train path (query_and_group + PointwiseMLP):
+forward and gradients agree to the bf16-matmul-pass class (~1e-2
+relative worst-case on cancelling sums), NOT bitwise: the hoisted
+layer-1 rounds differently from Dense(concat([dxyz, f])), and Mosaic
+bf16 dots tile differently from XLA's. tests/test_pallas_sa_train.py
+pins the bound against the autodiff path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sampling import _bf16_parts
+
+# raised scoped-VMEM budget: the sa3 scale-b backward holds two xhat
+# tensors + the cotangent ping-pong (~18 MB); v5e VMEM is far larger
+# than Mosaic's 16 MB default scoped limit
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _bf16_cat3(v: jnp.ndarray) -> jnp.ndarray:
+    """(R, C) f32 → (R, 3C) bf16 [hi | mid | lo], Σ parts == v exactly.
+
+    Lane-concat + a 3-slice fold after the dot measured FASTER than
+    stacking parts along the contracted axis (310 vs 403 fps end-to-end:
+    the 3×-wide one-hot build and tripled K cost more than the
+    lane-offset folds)."""
+    return jnp.concatenate(_bf16_parts(v.astype(jnp.float32)), axis=1)
+
+
+def _fold3(o3: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Undo _bf16_cat3 after a one-hot dot: sum the three part lanes."""
+    return o3[..., :c] + o3[..., c:2 * c] + o3[..., 2 * c:]
+
+
+def _selection(xt, sqx, maskf, ut, c, r2):
+    """Shared fwd/bwd selection: rank (M, N) and hit count (M, 1)."""
+    sqc = jnp.sum(c * c, axis=1, keepdims=True)
+    prod = (c[:, 0:1] * xt[0:1, :] + c[:, 1:2] * xt[1:2, :]
+            + c[:, 2:3] * xt[2:3, :])
+    d2 = jnp.maximum(sqc + sqx - 2.0 * prod, 0.0)
+    # mask stays f32 (Mosaic has no bf16 compare); cast only at the dot
+    hitf = jnp.logical_and(d2 < r2, maskf > 0.0).astype(jnp.float32)
+    # inclusive prefix count: 0/1 bf16 matmul, f32 accumulation — exact
+    # for counts <= N
+    rank = jax.lax.dot(hitf.astype(jnp.bfloat16), ut,
+                       preferred_element_type=jnp.float32)
+    rank = jnp.where(hitf > 0.0, rank, 0.0)
+    hits = jnp.sum(hitf, axis=1, keepdims=True)
+    return rank, hits
+
+
+_SLOT_BLOCK = 8
+
+
+def _gather_slots(rank, hits, p1cat, p1row0, cw, ns, c1, m, act_ref):
+    """Materialize g1 = grouped(P1) - CW with CUDA duplicate padding
+    into act_ref ((ns·M, C1)); returns nothing (writes the ref).
+
+    Slots are processed _SLOT_BLOCK at a time: one (G·M, N) one-hot per
+    block feeds ONE MXU dot — per-slot dots spent more time in dot issue
+    than compute (32 × ~2 µs measured ≈ the whole kernel budget). The
+    loop over blocks is a fori_loop, NOT unrolled Python: Mosaic
+    stack-allocates every unrolled iteration's temporaries at once."""
+    g = min(ns, _SLOT_BLOCK)
+    nblk = ns // g
+    s_io = jax.lax.broadcasted_iota(jnp.int32, (g, m, 1),
+                                    0).astype(jnp.float32)
+
+    def block(s0):
+        sv = s_io[:, 0:1, 0:1] + (s0 + 1.0)                # slot ranks
+        oh = (rank[None] == sv).astype(jnp.bfloat16).reshape(g * m, -1)
+        o3 = jax.lax.dot(oh, p1cat, preferred_element_type=jnp.float32)
+        return _fold3(o3, c1)
+
+    sb0 = block(0.0)
+    first = jnp.where(hits > 0.0, sb0[0:m], p1row0)        # (m, c1)
+
+    def livefix(sb, s0):
+        live = (s_io + s0) < hits[None]                    # (g, m, 1)
+        out = jnp.where(live, sb.reshape(g, m, c1),
+                        first[None]) - cw[None]
+        return out.reshape(g * m, c1)
+
+    act_ref[0:g * m, :] = livefix(sb0, 0.0)
+
+    def body(i, _):
+        s0 = i.astype(jnp.float32) * g
+        act_ref[pl.ds(i * (g * m), g * m), :] = livefix(block(s0), s0)
+        return 0
+
+    jax.lax.fori_loop(1, nblk, body, 0)
+
+
+def _batch_stats(x, count):
+    mu = jnp.sum(x, axis=0, keepdims=True) / count
+    var = jnp.maximum(jnp.sum(x * x, axis=0, keepdims=True) / count
+                      - mu * mu, 0.0)
+    return mu, var
+
+
+def _fwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
+                p1cat_ref, p1row0_ref, *refs, r2: float, ns: int,
+                cs: Sequence[int], eps: float):
+    """Forward: pooled (M, C_L) + per-layer batch (mu, var)."""
+    n_layers = len(cs)
+    ws = refs[:n_layers - 1]
+    scales = refs[n_layers - 1:2 * n_layers - 1]
+    biases = refs[2 * n_layers - 1:3 * n_layers - 1]
+    outs = refs[3 * n_layers - 1:3 * n_layers - 1 + 1 + 2 * n_layers]
+    pooled_ref = outs[0]
+    mu_refs = outs[1:1 + n_layers]
+    var_refs = outs[1 + n_layers:1 + 2 * n_layers]
+    act_refs = refs[3 * n_layers - 1 + 1 + 2 * n_layers:]
+
+    m = c_ref.shape[0]
+    count = jnp.float32(ns * m)
+
+    rank, hits = _selection(xt_ref[...], sqx_ref[...], maskf_ref[...],
+                            ut_ref[...], c_ref[...], r2)
+    _gather_slots(rank, hits, p1cat_ref[...], p1row0_ref[...],
+                  cw_ref[...], ns, cs[0], m, act_refs[0])
+
+    for li in range(n_layers):
+        if li > 0:
+            a_prev = act_refs[li - 1][...]
+            act_refs[li][...] = jax.lax.dot(
+                a_prev.astype(jnp.bfloat16),
+                ws[li - 1][...].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        h = act_refs[li][...]
+        mu, var = _batch_stats(h, count)
+        mu_refs[li][...] = mu
+        var_refs[li][...] = var
+        inv = jax.lax.rsqrt(var + eps) * scales[li][...]
+        act_refs[li][...] = jnp.maximum((h - mu) * inv + biases[li][...],
+                                        0.0)
+
+    a_last = act_refs[-1][...].reshape(ns, m, cs[-1])
+    pooled_ref[...] = jnp.max(a_last, axis=0)
+
+
+def _bwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
+                p1cat_ref, p1row0_ref, *refs, r2: float, ns: int,
+                cs: Sequence[int], eps: float):
+    """Backward: recompute forward, backprop pool/BN/Dense, scatter dP1."""
+    n_layers = len(cs)
+    ws = refs[:n_layers - 1]
+    scales = refs[n_layers - 1:2 * n_layers - 1]
+    biases = refs[2 * n_layers - 1:3 * n_layers - 1]
+    dpooled_ref = refs[3 * n_layers - 1]
+    k = 3 * n_layers
+    # outputs: dp1, dcw, dw × (L-1), dscale × L, dbias × L
+    dp1_ref = refs[k]
+    dcw_ref = refs[k + 1]
+    dw_refs = refs[k + 2:k + 1 + n_layers]
+    dscale_refs = refs[k + 1 + n_layers:k + 1 + 2 * n_layers]
+    dbias_refs = refs[k + 1 + 2 * n_layers:k + 1 + 3 * n_layers]
+    scr = refs[k + 1 + 3 * n_layers:]
+    xhat_refs = scr[:n_layers]          # (ns·M, C_l) per layer
+    d_refs = scr[n_layers:]             # cotangent per layer
+
+    m = c_ref.shape[0]
+    count = jnp.float32(ns * m)
+
+    rank, hits = _selection(xt_ref[...], sqx_ref[...], maskf_ref[...],
+                            ut_ref[...], c_ref[...], r2)
+    _gather_slots(rank, hits, p1cat_ref[...], p1row0_ref[...],
+                  cw_ref[...], ns, cs[0], m, xhat_refs[0])
+
+    # forward recompute, storing per-layer XHAT (normalized pre-affine);
+    # activations derive from it on the fly: a = relu(xhat·scale + bias)
+    mus, invs = [], []
+    a_prev = None
+    for li in range(n_layers):
+        if li > 0:
+            xhat_refs[li][...] = jax.lax.dot(
+                a_prev.astype(jnp.bfloat16),
+                ws[li - 1][...].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        h = xhat_refs[li][...]
+        mu, var = _batch_stats(h, count)
+        inv = jax.lax.rsqrt(var + eps)
+        mus.append(mu)
+        invs.append(inv)
+        xhat_refs[li][...] = (h - mu) * inv
+        a_prev = jnp.maximum(xhat_refs[li][...] * scales[li][...]
+                             + biases[li][...], 0.0)
+
+    # max-pool backward: cotangent split evenly over ties (jnp.max VJP)
+    c_last = cs[-1]
+    a3 = a_prev.reshape(ns, m, c_last)
+    pooled = jnp.max(a3, axis=0)
+    ties = (a3 == pooled[None]).astype(jnp.float32)
+    cnt = jnp.sum(ties, axis=0)
+    dpool = dpooled_ref[...] / cnt
+    d_refs[-1][...] = (ties * dpool[None]).reshape(ns * m, c_last)
+
+    for li in range(n_layers - 1, -1, -1):
+        xhat = xhat_refs[li][...]
+        z = xhat * scales[li][...] + biases[li][...]
+        dz = d_refs[li][...] * (z > 0.0).astype(jnp.float32)
+        dscale_refs[li][...] = jnp.sum(dz * xhat, axis=0, keepdims=True)
+        dbias_refs[li][...] = jnp.sum(dz, axis=0, keepdims=True)
+        dxhat = dz * scales[li][...]
+        # train-BN backward (batch statistics participate):
+        dh = invs[li] * (dxhat
+                         - jnp.sum(dxhat, axis=0, keepdims=True) / count
+                         - xhat * (jnp.sum(dxhat * xhat, axis=0,
+                                           keepdims=True) / count))
+        if li > 0:
+            a_lm1 = jnp.maximum(
+                xhat_refs[li - 1][...] * scales[li - 1][...]
+                + biases[li - 1][...], 0.0)
+            dw_refs[li - 1][...] = jax.lax.dot_general(
+                a_lm1.astype(jnp.bfloat16), dh.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d_refs[li - 1][...] = jax.lax.dot(
+                dh.astype(jnp.bfloat16),
+                ws[li - 1][...].T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        else:
+            c1 = cs[0]
+            # park dG1 in the layer-0 cotangent ref so the scatter loop
+            # reads slots via dynamic ref slices (a fori_loop — unrolled
+            # slot loops stack-sum their temporaries, see _gather_slots)
+            d_refs[0][...] = dh
+            dg1 = dh.reshape(ns, m, c1)
+            dcw_ref[...] = -jnp.sum(dg1, axis=0)
+            # duplicate-slot routing: dead slots' cotangents flow to the
+            # first hit (rank-1 one-hot) or, with no hit, to point 0.
+            # Blocked like _gather_slots: one scatter dot per slot block.
+            # tpu.iota must be integer (Mosaic); convert after
+            g = min(ns, _SLOT_BLOCK)
+            nblk = ns // g
+            s_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (ns, m, 1), 0).astype(jnp.float32)
+            livem = (s_iota < hits[None]).astype(jnp.float32)
+            extra = jnp.sum(dg1 * (1.0 - livem), axis=0)       # (M, C1)
+            s_io = jax.lax.broadcasted_iota(
+                jnp.int32, (g, m, 1), 0).astype(jnp.float32)
+
+            def scat_block(s0):
+                start = s0.astype(jnp.int32) * (g * m)
+                dblk = d_refs[0][pl.ds(start, g * m), :]
+                live = ((s_io + s0.astype(jnp.float32) * g)
+                        < hits[None]).astype(jnp.float32)
+                eff = (dblk.reshape(g, m, c1) * live).reshape(g * m, c1)
+                sv = s_io[:, 0:1, 0:1] + (s0.astype(jnp.float32) * g
+                                          + 1.0)
+                oh = (rank[None] == sv).astype(
+                    jnp.bfloat16).reshape(g * m, -1)
+                return _fold3(jax.lax.dot_general(
+                    oh, _bf16_cat3(eff),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32), c1)
+
+            # live-slot scatters, + the duplicate cotangents via the
+            # rank-1 one-hot, + no-hit rows onto point 0
+            oh1 = (rank == 1.0).astype(jnp.bfloat16)
+            dp1_ref[...] = _fold3(jax.lax.dot_general(
+                oh1, _bf16_cat3(jnp.where(hits > 0.0, extra, 0.0)),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), c1)
+            dp1_ref[...] += scat_block(jnp.int32(0))
+
+            def body(i, _):
+                dp1_ref[...] += scat_block(i)
+                return 0
+
+            jax.lax.fori_loop(1, nblk, body, 0)
+            ex0 = jnp.where(hits > 0.0, 0.0, extra)
+            ones = jnp.ones((1, m), jnp.bfloat16)
+            row0 = _fold3(jax.lax.dot(ones, _bf16_cat3(ex0),
+                                      preferred_element_type=jnp.float32),
+                          c1)
+            dp1_ref[0:1, :] += row0
+
+
+def _full():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
+               interpret: bool):
+    """Build the custom-VJP core for one static scale configuration.
+
+    core(xt, sqx, maskf, c, p1, cw, ws_rest, scales, biases)
+      → (pooled (M, C_L), mus tuple, vars tuple)
+    xt/sqx/maskf/c receive zero gradients (index selection, like the
+    reference's int-index CUDA ops).
+    """
+    n_layers = len(cs)
+    c1, c_last = cs[0], cs[-1]
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT,
+        dimension_semantics=("arbitrary",))
+
+    def _stream(*shape):
+        """Per-stream operand: leading batch dim squeezed out of the
+        kernel ref, one block per grid step. The squeeze keeps the
+        block's trailing dims equal to the array's, sidestepping the
+        (8, 128) divisibility rule a moved batch axis would trip."""
+        nd = len(shape)
+        return pl.BlockSpec((None,) + shape,
+                            lambda i: (i,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def _run_fwd(b, xtb, sqxb, maskfb, cb, p1b, cwb, ws_rest, scales,
+                 biases):
+        """One pallas dispatch, grid over the B streams — per-program
+        dispatch overhead measured ~30 µs × 24 programs/frame under the
+        earlier per-stream lax.map; the grid amortizes it 8×."""
+        ut = jnp.triu(jnp.ones((n, n), jnp.bfloat16))
+        parts = _bf16_parts(p1b.astype(jnp.float32))
+        p1catb = jnp.concatenate(parts, axis=2)            # (B, N, 3C1)
+        p1row0b = p1b[:, 0:1, :]
+        kernel = functools.partial(_fwd_kernel, r2=r2, ns=ns, cs=cs,
+                                   eps=eps)
+        out_shape = ([jax.ShapeDtypeStruct((b, m, c_last), jnp.float32)]
+                     + [jax.ShapeDtypeStruct((b, 1, ci), jnp.float32)
+                        for ci in cs] * 2)
+        out_specs = ([_stream(m, c_last)]
+                     + [_stream(1, ci) for ci in cs] * 2)
+        in_specs = ([_stream(3, n), _stream(1, n), _stream(1, n),
+                     _full(), _stream(m, 3), _stream(m, c1),
+                     _stream(n, 3 * c1), _stream(1, c1)]
+                    + [_full()] * (n_layers - 1 + 2 * n_layers))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[pltpu.VMEM((ns * m, ci), jnp.float32)
+                            for ci in cs],
+            compiler_params=params,
+            interpret=interpret,
+        )(xtb, sqxb, maskfb, ut, cb, cwb, p1catb, p1row0b,
+          *ws_rest, *[s.reshape(1, -1) for s in scales],
+          *[bb.reshape(1, -1) for bb in biases])
+        pooled = outs[0]
+        mus = tuple(x.reshape(b, ci)
+                    for x, ci in zip(outs[1:1 + n_layers], cs))
+        vrs = tuple(x.reshape(b, ci)
+                    for x, ci in zip(outs[1 + n_layers:], cs))
+        return pooled, mus, vrs
+
+    def _run_bwd(b, xtb, sqxb, maskfb, cb, p1b, cwb, ws_rest, scales,
+                 biases, dpooledb):
+        ut = jnp.triu(jnp.ones((n, n), jnp.bfloat16))
+        parts = _bf16_parts(p1b.astype(jnp.float32))
+        p1catb = jnp.concatenate(parts, axis=2)            # (B, N, 3C1)
+        p1row0b = p1b[:, 0:1, :]
+        kernel = functools.partial(_bwd_kernel, r2=r2, ns=ns, cs=cs,
+                                   eps=eps)
+        out_shape = (
+            [jax.ShapeDtypeStruct((b, n, c1), jnp.float32),   # dp1
+             jax.ShapeDtypeStruct((b, m, c1), jnp.float32)]   # dcw
+            + [jax.ShapeDtypeStruct((b,) + w.shape, jnp.float32)
+               for w in ws_rest]
+            + [jax.ShapeDtypeStruct((b, 1, ci), jnp.float32)
+               for ci in cs] * 2)
+        out_specs = ([_stream(n, c1), _stream(m, c1)]
+                     + [_stream(*w.shape) for w in ws_rest]
+                     + [_stream(1, ci) for ci in cs] * 2)
+        in_specs = ([_stream(3, n), _stream(1, n), _stream(1, n),
+                     _full(), _stream(m, 3), _stream(m, c1),
+                     _stream(n, 3 * c1), _stream(1, c1)]
+                    + [_full()] * (n_layers - 1 + 2 * n_layers)
+                    + [_stream(m, c_last)])
+        outs = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[pltpu.VMEM((ns * m, ci), jnp.float32)
+                            for ci in cs] * 2,
+            compiler_params=params,
+            interpret=interpret,
+        )(xtb, sqxb, maskfb, ut, cb, cwb, p1catb, p1row0b,
+          *ws_rest, *[s.reshape(1, -1) for s in scales],
+          *[bb.reshape(1, -1) for bb in biases], dpooledb)
+        dp1, dcw = outs[0], outs[1]
+        dws = tuple(outs[2:2 + n_layers - 1])
+        dscales = tuple(x.reshape(b, ci) for x, ci in
+                        zip(outs[1 + n_layers:1 + 2 * n_layers], cs))
+        dbiases = tuple(x.reshape(b, ci) for x, ci in
+                        zip(outs[1 + 2 * n_layers:], cs))
+        return dp1, dcw, dws, dscales, dbiases
+
+    def _bcast(x, batched, b):
+        return x if batched else jnp.broadcast_to(x[None], (b,) + x.shape)
+
+    @jax.custom_batching.custom_vmap
+    def fwd_call(xt, sqx, maskf, c, p1, cw, ws_rest, scales, biases):
+        pooled, mus, vrs = _run_fwd(
+            1, xt[None], sqx[None], maskf[None], c[None], p1[None],
+            cw[None], ws_rest, scales, biases)
+        return (pooled[0], tuple(x[0] for x in mus),
+                tuple(x[0] for x in vrs))
+
+    @fwd_call.def_vmap
+    def _fwd_vmap(axis_size, in_batched, xt, sqx, maskf, c, p1, cw,
+                  ws_rest, scales, biases):
+        pb = in_batched[6:]
+        if any(jax.tree_util.tree_leaves(pb)):
+            raise NotImplementedError(
+                "fused SA train kernel: vmap over MLP parameters")
+        b = axis_size
+        args = [_bcast(x, bt, b) for x, bt in
+                zip((xt, sqx, maskf, c, p1, cw), in_batched[:6])]
+        outs = _run_fwd(b, *args, ws_rest, scales, biases)
+        L = len(cs)
+        return outs, (True, (True,) * L, (True,) * L)
+
+    @jax.custom_batching.custom_vmap
+    def bwd_call(xt, sqx, maskf, c, p1, cw, ws_rest, scales, biases,
+                 dpooled):
+        dp1, dcw, dws, dscales, dbiases = _run_bwd(
+            1, xt[None], sqx[None], maskf[None], c[None], p1[None],
+            cw[None], ws_rest, scales, biases, dpooled[None])
+        return (dp1[0], dcw[0], tuple(w[0] for w in dws),
+                tuple(s[0] for s in dscales),
+                tuple(bb[0] for bb in dbiases))
+
+    @bwd_call.def_vmap
+    def _bwd_vmap(axis_size, in_batched, xt, sqx, maskf, c, p1, cw,
+                  ws_rest, scales, biases, dpooled):
+        pb = in_batched[6:9]
+        if any(jax.tree_util.tree_leaves(pb)):
+            raise NotImplementedError(
+                "fused SA train kernel: vmap over MLP parameters")
+        b = axis_size
+        args = [_bcast(x, bt, b) for x, bt in
+                zip((xt, sqx, maskf, c, p1, cw), in_batched[:6])]
+        dpooledb = _bcast(dpooled, in_batched[9], b)
+        outs = _run_bwd(b, *args, ws_rest, scales, biases, dpooledb)
+        L = len(cs)
+        return outs, (True, True, (True,) * (L - 1), (True,) * L,
+                      (True,) * L)
+
+    @jax.custom_vjp
+    def core(xt, sqx, maskf, c, p1, cw, ws_rest, scales, biases):
+        return fwd_call(xt, sqx, maskf, c, p1, cw, ws_rest, scales,
+                        biases)
+
+    def core_fwd(xt, sqx, maskf, c, p1, cw, ws_rest, scales, biases):
+        out = fwd_call(xt, sqx, maskf, c, p1, cw, ws_rest, scales,
+                       biases)
+        return out, (xt, sqx, maskf, c, p1, cw, ws_rest, scales, biases)
+
+    def core_bwd(res, cots):
+        xt, sqx, maskf, c, p1, cw, ws_rest, scales, biases = res
+        dpooled, _dmus, _dvars = cots   # stats feed only the
+        # non-differentiated running-average update; their cotangents are
+        # structurally zero in the training graph and are ignored here.
+        dp1, dcw, dws, dscales, dbiases = bwd_call(
+            xt, sqx, maskf, c, p1, cw, ws_rest, scales, biases, dpooled)
+        return (jnp.zeros_like(xt), jnp.zeros_like(sqx),
+                jnp.zeros_like(maskf), jnp.zeros_like(c),
+                dp1, dcw, dws, dscales, dbiases)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def fused_sa_scale_train(xyz, centers, features, mask, ws, scales,
+                         biases, *, radius: float, nsample: int,
+                         eps: float = 1e-5,
+                         interpret: bool | None = None):
+    """Fused train-mode SA scale: selection + group + MLP/BN + max-pool.
+
+    Args:
+      xyz: (N, 3) f32 points; centers: (M, 3) f32 (M·ns tensors must fit
+        VMEM — the live 512/512 config does; the caller gates).
+      features: optional (N, C); mask: optional (N,) bool.
+      ws: L Dense kernels, ws[0] (3+C, C1) with xyz rows first
+        (QueryAndGroup concat order); no biases (BN mode).
+      scales/biases: L batch-norm affine pairs, (C_l,).
+      radius/nsample: ball parameters (static).
+    Returns:
+      (pooled (M, C_L) f32, mus, vars) — mus/vars are the per-layer
+      train-mode batch statistics for the running-average update.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, m = xyz.shape[0], centers.shape[0]
+    xyz = xyz.astype(jnp.float32)
+    centers = centers.astype(jnp.float32)
+    w1 = ws[0].astype(jnp.float32)
+    # layer-1 hoist at HIGHEST: P1/CW carry absolute-coordinate terms
+    # whose difference is small — bf16-pass rounding here would dwarf the
+    # pair values (the unfused path subtracts *before* its matmul)
+    hp = jax.lax.Precision.HIGHEST
+    p1 = jnp.dot(xyz, w1[:3], precision=hp)
+    if features is not None:
+        p1 = p1 + jnp.dot(features.astype(jnp.float32), w1[3:],
+                          precision=hp)
+    cw = jnp.dot(centers, w1[:3], precision=hp)
+
+    xt = xyz.T
+    sqx = jnp.sum(xyz * xyz, axis=1)[None, :]
+    maskf = (jnp.ones((1, n), jnp.float32) if mask is None
+             else mask.astype(jnp.float32)[None, :])
+
+    cs = tuple(int(w.shape[1]) for w in ws)
+    core = _make_core(float(radius) ** 2, int(nsample), cs, n, m,
+                      float(eps), bool(interpret))
+    return core(xt, sqx, maskf, centers, p1, cw,
+                tuple(w.astype(jnp.float32) for w in ws[1:]),
+                tuple(s.astype(jnp.float32) for s in scales),
+                tuple(b.astype(jnp.float32) for b in biases))
+
+
+def sa_scale_train_reference(xyz, centers, features, mask, ws, scales,
+                             biases, *, radius, nsample, eps=1e-5):
+    """Unfused train-mode reference of the same computation (tests):
+    ball_query + group + per-layer Dense/train-BN/relu + max-pool."""
+    from .neighborhood import ball_query
+    idx = ball_query(radius, nsample, xyz, centers, mask)
+    g = jnp.take(xyz, idx, axis=0) - centers[:, None, :]
+    if features is not None:
+        g = jnp.concatenate([g, jnp.take(features, idx, axis=0)], axis=-1)
+    h = g.astype(jnp.float32)
+    mus, vrs = [], []
+    for w, s, b in zip(ws, scales, biases):
+        h = h @ w.astype(jnp.float32)
+        mu = jnp.mean(h, axis=(0, 1))
+        var = jnp.maximum(jnp.mean(jnp.square(h), axis=(0, 1))
+                          - jnp.square(mu), 0.0)
+        mus.append(mu)
+        vrs.append(var)
+        h = jax.nn.relu((h - mu) * jax.lax.rsqrt(var + eps) * s + b)
+    return jnp.max(h, axis=1), tuple(mus), tuple(vrs)

@@ -15,6 +15,7 @@ per-clip updates.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -30,6 +31,18 @@ class TrainState(NamedTuple):
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+
+
+def train_compiler_options():
+    """XLA options for programs containing the fused train SA kernels.
+
+    ops/pallas_sa_train.py holds a whole scale's grouped activations in
+    VMEM (~19 MB at the sa3 scale); XLA's default scoped-vmem budget for
+    the surrounding fusion is 16 MB, so train programs raise it. TPU
+    only — other backends reject unknown options."""
+    if jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": 65536}
+    return None
 
 
 def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
@@ -109,7 +122,7 @@ def make_train_step(model, tx):
     """
     loss_fn = _make_loss_fn(model)
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=train_compiler_options())
     def train_step(ts: TrainState, track_states: TrackState,
                    frames, pretrain) -> Tuple[TrainState, TrackState,
                                               Dict[str, jnp.ndarray]]:
@@ -135,7 +148,7 @@ def make_scan_train_step(model, tx):
     """
     loss_fn = _make_loss_fn(model)
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=train_compiler_options())
     def scan_train(ts: TrainState, track_states: TrackState, frames_bt,
                    pretrain):
         frames_tb = jax.tree_util.tree_map(

@@ -30,14 +30,25 @@ def make_mesh(dp: int | None = None) -> Mesh:
 
 
 def shard_clips(mesh: Mesh, tree):
-    """Place a pytree with leading clip-batch axis sharded over 'dp'."""
-    sh = NamedSharding(mesh, P("dp"))
+    """Place a pytree with leading clip-batch axis sharded over 'dp'.
+
+    The clip-batch must divide evenly over the mesh: padding silently
+    would corrupt the mean-over-streams loss (inactive pad streams would
+    enter the gradient), so a non-divisible batch is an explicit error —
+    the caller drops or pads streams with full knowledge (the epoch
+    drivers in main.py group streams in dp-sized blocks).
+    """
+    dp = mesh.shape["dp"]
+    b = jax.tree_util.tree_leaves(tree)[0].shape[0]
+    if b % dp != 0:
+        raise ValueError(
+            f"clip batch {b} does not divide over dp={dp}; drop or pad "
+            f"streams to a multiple of dp before sharding")
 
     def put(x):
         spec = P("dp", *([None] * (x.ndim - 1))) if x.ndim > 0 else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    del sh
     return jax.tree_util.tree_map(put, tree)
 
 

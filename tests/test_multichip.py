@@ -65,6 +65,25 @@ class TestMeshHelpers:
         with pytest.raises(ValueError):
             make_mesh(len(jax.devices()) + 1)
 
+    def test_shard_clips_rejects_indivisible_batch(self, workload):
+        """B % dp != 0 must fail loudly, not silently pad: pad streams
+        would enter the mean-over-streams loss and corrupt gradients."""
+        _, frames, _ = workload
+        mesh = make_mesh(N_DEV)
+        bad = jax.tree_util.tree_map(lambda x: x[:N_DEV - 2], frames)
+        with pytest.raises(ValueError, match="divide"):
+            shard_clips(mesh, bad)
+
+    def test_shard_clips_smaller_divisible_batch(self, workload):
+        """A dp-divisible batch smaller than the full stream set shards
+        fine (dp=4 mesh, B=8)."""
+        _, frames, _ = workload
+        mesh = make_mesh(4)
+        sharded = shard_clips(mesh, frames)
+        assert sharded.pc1.sharding.spec[0] == "dp"
+        np.testing.assert_array_equal(np.asarray(sharded.pc1),
+                                      np.asarray(frames.pc1))
+
     def test_shard_clips_places_leading_axis(self, workload):
         _, frames, _ = workload
         mesh = make_mesh(N_DEV)

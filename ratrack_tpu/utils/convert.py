@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import numpy as np
 
 # (scales, per-scale layer count) per SA level; FP levels have one layer
@@ -203,6 +204,152 @@ def convert_reference_state_dict(
         for k, v in tree.items()}
     return ({"params": to_jnp(params), "batch_stats": to_jnp(stats)},
             r.leftover())
+
+
+def _inv_conv_w(k: np.ndarray) -> np.ndarray:
+    """Dense kernel (I, O) → Conv2d 1x1 weight (O, I, 1, 1)."""
+    return np.asarray(k).T[:, :, None, None]
+
+
+def _export_shared_mlp(out, prefix, params, stats):
+    n = len([k for k in params if k.startswith("dense_")])
+    for i in range(n):
+        out[f"{prefix}.layer{i}.conv.weight"] = _inv_conv_w(
+            params[f"dense_{i}"]["kernel"])
+        out[f"{prefix}.layer{i}.bn.bn.weight"] = np.asarray(
+            params[f"bn_{i}"]["scale"])
+        out[f"{prefix}.layer{i}.bn.bn.bias"] = np.asarray(
+            params[f"bn_{i}"]["bias"])
+        out[f"{prefix}.layer{i}.bn.bn.running_mean"] = np.asarray(
+            stats[f"bn_{i}"]["mean"])
+        out[f"{prefix}.layer{i}.bn.bn.running_var"] = np.asarray(
+            stats[f"bn_{i}"]["var"])
+        out[f"{prefix}.layer{i}.bn.bn.num_batches_tracked"] = np.asarray(
+            0, dtype=np.int64)
+
+
+def _export_pnhead(out, prefix, params, stats):
+    for sa, n_layers in _SA_LAYERS.items():
+        for scale in (0, 1):
+            _export_shared_mlp(out, f"{prefix}.{sa}.mlps.{scale}",
+                               params[sa][f"mlp_{scale}"],
+                               stats[sa][f"mlp_{scale}"])
+    for i in (1, 2, 3):
+        out[f"{prefix}.linear{i}.weight"] = np.asarray(
+            params[f"linear{i}"]["kernel"]).T
+        out[f"{prefix}.linear{i}.bias"] = np.asarray(
+            params[f"linear{i}"]["bias"])
+    for fp in ("fp1", "fp2", "fp3"):
+        _export_shared_mlp(out, f"{prefix}.{fp}.mlp",
+                           params[fp]["mlp"], stats[fp]["mlp"])
+
+
+def _export_plain_mlp(out, prefix, params, order):
+    for i, name in enumerate(order):
+        out[f"{prefix}.{i}.weight"] = _inv_conv_w(params[name]["kernel"])
+        if "bias" in params[name]:
+            out[f"{prefix}.{i}.bias"] = np.asarray(params[name]["bias"])
+
+
+def export_reference_state_dict(variables) -> Dict[str, np.ndarray]:
+    """flax Track4D variables → reference torch state_dict (numpy values).
+
+    Exact inverse of convert_reference_state_dict: TPU-trained weights
+    load into the reference harness's torch model
+    (`/root/reference/src/models/model.py:28-37` restores a state_dict
+    onto its Track4D) with `strict=False` — the reference's dead modules
+    (cls_mlp, mlp2, gru2, pnnGru) have no counterpart here and keep
+    their torch init. BatchNorm `num_batches_tracked` counters are
+    emitted as 0 (torch only consults them for the momentum=None mode,
+    which the reference never uses). Values are numpy; wrap with
+    `torch.from_numpy` via save_reference_checkpoint for a .t7 file.
+    """
+    params = jax.tree_util.tree_map(
+        np.asarray, _unfreeze(variables["params"]))
+    stats = jax.tree_util.tree_map(
+        np.asarray, _unfreeze(variables.get("batch_stats", {})))
+    out: Dict[str, np.ndarray] = {}
+
+    _export_pnhead(out, "pn_head", params["pn_head"], stats["pn_head"])
+
+    fc = params["fc_layer"]
+    _export_plain_mlp(out, "fc_layer.mlp_convs", fc["mlp"],
+                      [f"dense_{i}" for i in range(len(fc["mlp"]))])
+    for wn in ("weightnet1", "weightnet2"):
+        _export_plain_mlp(out, f"fc_layer.{wn}.mlp_convs", fc[wn],
+                          ["dense_0", "dense_1", "dense_out"])
+
+    fd_p, fd_s = params["fd_layer"], stats["fd_layer"]
+    _export_pnhead(out, "fd_layer.mse", fd_p["mse"], fd_s["mse"])
+    for name in ("fp", "cp"):
+        mp, ms = fd_p[name]["mlp"], fd_s[name]["mlp"]
+        n = len([k for k in mp if k.startswith("dense_")])
+        for i in range(n):
+            out[f"fd_layer.{name}.sf_mlp.{i}.0.weight"] = _inv_conv_w(
+                mp[f"dense_{i}"]["kernel"])
+            out[f"fd_layer.{name}.sf_mlp.{i}.1.weight"] = np.asarray(
+                mp[f"bn_{i}"]["scale"])
+            out[f"fd_layer.{name}.sf_mlp.{i}.1.bias"] = np.asarray(
+                mp[f"bn_{i}"]["bias"])
+            out[f"fd_layer.{name}.sf_mlp.{i}.1.running_mean"] = (
+                np.asarray(ms[f"bn_{i}"]["mean"]))
+            out[f"fd_layer.{name}.sf_mlp.{i}.1.running_var"] = (
+                np.asarray(ms[f"bn_{i}"]["var"]))
+            out[f"fd_layer.{name}.sf_mlp.{i}.1.num_batches_tracked"] = (
+                np.asarray(0, dtype=np.int64))
+    out["fd_layer.fp.conv2.weight"] = _inv_conv_w(
+        fd_p["fp"]["out"]["kernel"])
+    out["fd_layer.cp.conv2.weight"] = _inv_conv_w(
+        fd_p["cp"]["conv_out"]["kernel"])
+    out["fd_layer.cp.linear.weight"] = np.asarray(
+        fd_p["cp"]["linear"]["kernel"]).T
+    out["fd_layer.cp.linear.bias"] = np.asarray(
+        fd_p["cp"]["linear"]["bias"])
+    for l in range(5):
+        cell = fd_p["gru"][f"cell_{l}"]
+        out[f"fd_layer.torchGRU.weight_ih_l{l}"] = np.asarray(
+            cell["ih"]["kernel"]).T
+        out[f"fd_layer.torchGRU.bias_ih_l{l}"] = np.asarray(
+            cell["ih"]["bias"])
+        out[f"fd_layer.torchGRU.weight_hh_l{l}"] = np.asarray(
+            cell["hh"]["kernel"]).T
+        out[f"fd_layer.torchGRU.bias_hh_l{l}"] = np.asarray(
+            cell["hh"]["bias"])
+
+    aff = params["affinity"]
+    for i, t_idx in enumerate((0, 2, 4, 6)):
+        out[f"affinity.affinity.{t_idx}.weight"] = np.asarray(
+            aff[f"dense_{i}"]["kernel"]).T
+        out[f"affinity.affinity.{t_idx}.bias"] = np.asarray(
+            aff[f"dense_{i}"]["bias"])
+    out["affinity.affinity.8.weight"] = np.asarray(
+        aff["dense_out"]["kernel"]).T
+    out["affinity.affinity.8.bias"] = np.asarray(
+        aff["dense_out"]["bias"])
+
+    if "bin_score" in params:
+        out["bin_score"] = np.asarray(params["bin_score"]).reshape(())
+    return out
+
+
+def _unfreeze(tree):
+    if hasattr(tree, "unfreeze"):
+        tree = tree.unfreeze()
+    return {k: _unfreeze(v) if isinstance(v, dict) or hasattr(v, "items")
+            else v for k, v in dict(tree).items()}
+
+
+def save_reference_checkpoint(variables, path: str) -> None:
+    """Export TPU-trained variables as a torch-loadable .t7 state_dict.
+
+    The file round-trips through the reference's restore
+    (`torch.load` + `load_state_dict(strict=False)` — the dead modules
+    keep their init, exactly as when the reference loads its own
+    published checkpoint into a freshly built model)."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_reference_state_dict(variables).items()}
+    torch.save(sd, path)
 
 
 def load_reference_checkpoint(path: str):

@@ -249,3 +249,64 @@ def test_full_model_runs_with_converted_weights(converted):
         variables, frame, init_state(8))
     assert np.isfinite(np.asarray(out["flow"])).all()
     assert np.isfinite(np.asarray(out["cls"])).all()
+
+
+def test_reverse_export_round_trip(converted, tmp_path):
+    """JAX→torch export (VERDICT r2 #8): flax variables → reference
+    state_dict → torch model (strict=False, dead modules keep init) →
+    convert back → bit-identical flax variables."""
+    from ratrack_tpu.utils.convert import (convert_reference_state_dict,
+                                           export_reference_state_dict,
+                                           save_reference_checkpoint,
+                                           load_reference_checkpoint)
+    _, variables, _ = converted
+
+    sd = export_reference_state_dict(variables)
+    tm2 = _TorchTrack4D()
+    missing, unexpected = tm2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("cls_mlp" in k for k in missing), missing
+
+    back, leftover = convert_reference_state_dict(tm2.state_dict())
+    for key in leftover:
+        assert "cls_mlp" in key or "num_batches_tracked" in key, key
+
+    def flat(tree):
+        return {jax.tree_util.keystr(k): np.asarray(v)
+                for k, v in jax.tree_util.tree_leaves_with_path(tree)}
+
+    for coll in ("params", "batch_stats"):
+        want, got = flat(variables[coll]), flat(back[coll])
+        assert set(want) == set(got)
+        for k in want:
+            assert np.array_equal(want[k], got[k]), k
+
+    # file round trip through the .t7 save/load pair
+    path = str(tmp_path / "model.last.t7")
+    save_reference_checkpoint(variables, path)
+    back2, _ = load_reference_checkpoint(path)
+    for coll in ("params", "batch_stats"):
+        want, got = flat(variables[coll]), flat(back2[coll])
+        for k in want:
+            assert np.array_equal(want[k], got[k]), k
+
+
+def test_reverse_export_torch_forward_parity(converted):
+    """Exported weights drive the torch reference modules to the same
+    outputs as the flax model they came from (affinity head probe)."""
+    from ratrack_tpu.models import Affinity
+    from ratrack_tpu.utils.convert import export_reference_state_dict
+    _, variables, _ = converted
+    sd = export_reference_state_dict(variables)
+    tm2 = _TorchTrack4D()
+    tm2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in sd.items()}, strict=False)
+    rng = np.random.RandomState(3)
+    diff = rng.randn(6, 141).astype(np.float32)
+    with torch.no_grad():
+        want = tm2.affinity(torch.from_numpy(diff)).numpy()[:, 0]
+    got = Affinity(141).apply({"params": variables["params"]["affinity"]},
+                              jnp.asarray(diff))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)

@@ -296,8 +296,14 @@ def ball_query_auto(radius: float, nsample: int, points: jnp.ndarray,
 
 def knn_auto(k: int, query: jnp.ndarray, points: jnp.ndarray,
              points_mask: jnp.ndarray | None = None):
-    """Size-dispatched kNN: dense under ~4M pair footprint, chunked above."""
+    """Size-dispatched kNN: dense under ~4M pair footprint; above it the
+    VMEM-streaming Pallas kernel on TPU (7.5 vs 10.5 ms at 8192² k=16 —
+    near-tie neighbor order differs in the FMA-distance rounding class),
+    chunked lax.map elsewhere."""
     if query.shape[0] * points.shape[0] > _KNN_DENSE_LIMIT:
+        if jax.default_backend() == "tpu" and k <= 32:
+            from .pallas_knn import knn_tiled
+            return knn_tiled(k, query, points, points_mask)
         return knn_chunked(k, query, points, points_mask)
     return knn(k, query, points, points_mask)
 
@@ -308,6 +314,8 @@ def three_nn(query: jnp.ndarray, points: jnp.ndarray,
 
     Reference: three_nn CUDA kernel (interpolate_gpu.cu:81-147), which
     returns sqrt distances via the Python wrapper (pointnet2_utils.py:126).
+    Stretch shapes route through knn_auto (the dense (N, M) matrix is
+    256 MB at 8k²).
     """
-    dist2, idx = knn(3, query, points, points_mask)
+    dist2, idx = knn_auto(3, query, points, points_mask)
     return jnp.sqrt(dist2), idx

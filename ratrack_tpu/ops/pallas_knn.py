@@ -5,25 +5,41 @@ matrix in HBM — fine at the live VoD budget (512×512) but 1 GB at the 16k
 stretch configs (SURVEY.md §5 "long-context" scaling: the reference's
 `knn_point` / cost volume are O(N²), model_utils.py:85-99). This kernel
 streams point tiles through VMEM flash-attention-style: each grid step
-owns one query tile, loops over point tiles, computes the (TQ, TP) distance
-block on the MXU, and folds it into a running top-k head via k rounds of
-masked min-reduction (VPU) — nothing N×M ever leaves VMEM.
+owns one query tile and loops over point chunks.
+
+Selection is the blocked-tournament formulation that beats everything
+else in XLA too (ops.neighborhood.top_k_blocked): per chunk, k
+extraction passes run over the CHUNK ONLY (the (TQ, TP) block lives in
+registers/stack for the whole k-loop), and the chunk's k finalists merge
+with the running head through a second, tiny extraction over (TQ, 2k).
+The previous version folded the head into every full-tile pass and
+re-wrote the (TQ, TP) scratch per pass — measured 63 ms at 8192×8192
+against 11 ms for the chunked-XLA path; this formulation wins instead
+(see NOTES_ROUND3.md for numbers).
+
+Tie order matches the dense path exactly: within a chunk the stable
+first-max extraction picks the lowest local index; at the merge the head
+(earlier, lower, already-ranked indices) precedes the chunk finalists,
+so equal distances resolve to the lowest global index — the
+torch.topk / CUDA insertion-sort order.
 
 Mosaic-specific structure notes (hard-won):
-  * loops are lax.while_loop, NOT fori_loop — Mosaic fully unrolls
-    static-trip-count loops and stack-allocates every iteration's
-    temporaries simultaneously (vmem OOM at k=16, TP=1024);
-  * the running head (TQ, k) and the tile pool (TQ, TP) are separate
-    scratch refs — a combined (TQ, k+TP) pool needs k-offset subtile
-    slicing, which is lane-unaligned for k < 128;
-  * no dynamic_update_slice on values (unimplemented in Mosaic) — output
-    columns are written via one-hot jnp.where selects.
+  * the chunk loop is a fori_loop with a VALUE carry for the head —
+    (TQ, k) is small; the k-pass extraction loop is UNROLLED Python (its
+    per-pass temporaries are what Mosaic stack-allocates — ~k·TQ·TP·4 B,
+    affordable under the raised vmem budget and much faster than the
+    serialized while_loop);
+  * no dynamic_update_slice on values — extraction outputs accumulate
+    into lists and concatenate (static shapes);
+  * distance uses the EXACT op order of neighborhood.square_distance
+    (-2qp at HIGHEST, then +|q|², then +|p|², clamp) so near-tie
+    neighbor ordering is bit-identical to the dense path.
 
 Only neighbor INDICES come out of the kernel (integer outputs — no VJP
-needed); callers recompute the k gathered distances outside in jnp, which
-is exact and differentiable.
+needed); callers recompute the k gathered distances outside in jnp,
+which is exact and differentiable.
 
-Grid: (N / TQ,). Defaults TQ=128, TP=1024.
+Grid: (N / TQ,). Defaults TQ=256, TP=512.
 """
 
 from __future__ import annotations
@@ -36,81 +52,78 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e10    # plain float: jnp scalars would be captured tracers in pallas
-_BIGI = 2 ** 30
 
 
-def _knn_kernel(kdyn_ref, q_ref, p_ref, pm_ref, idx_ref, hd_ref, hi_ref,
-                td_ref, *, k: int, tp: int, m: int):
-    """hd/hi: (TQ, k) running top-k head. td: (TQ, TP) tile distances.
+def _extract_k(keys, idxf, k):
+    """k lowest-index-tie max-extraction passes over the last axis.
 
-    kdyn_ref: (1, 1) SMEM scalar holding k. The select loop bound reads it
-    instead of the static k so Mosaic cannot constant-fold and unroll the
-    loop (unrolling stack-allocates all k iterations' temporaries at once:
-    ~4 MB × k ≈ 65 MB of scoped vmem at TP=1024).
-    """
+    keys (TQ, W) descending-priority (use -d²); idxf (TQ, W) global ids
+    AS f32 (exact for ids < 2^24 — 16M points, far past the stretch
+    budget). Returns (vals, ids) (TQ, k) f32 in rank order.
+
+    Pure max/min reduces: Mosaic's argmax lowers through a slow
+    cross-lane index-reduce helper; selecting the winner as the MINIMUM
+    id among key ties needs only a where + min-reduce and gives exactly
+    the lowest-index tie order of the dense path."""
+    vals, ids = [], []
+    x = keys
+    for _ in range(k):
+        m = jnp.max(x, axis=1, keepdims=True)
+        jid = jnp.min(jnp.where(x == m, idxf, _BIG), axis=1,
+                      keepdims=True)
+        vals.append(m)
+        ids.append(jid)
+        x = jnp.where(idxf == jid, -_BIG, x)
+    return (jnp.concatenate(vals, axis=1),
+            jnp.concatenate(ids, axis=1))
+
+
+def _knn_kernel(q_ref, xt_ref, sqx_ref, pm_ref, idx_ref, *, k: int,
+                tp: int, m: int):
     q = q_ref[:].astype(jnp.float32)                    # (TQ, 3)
     tq = q.shape[0]
     q2 = jnp.sum(q * q, axis=1, keepdims=True)          # (TQ, 1)
-    n_tiles = m // tp
-    out_cols = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+    n_chunks = m // tp
 
-    hd_ref[:] = jnp.full((tq, k), _BIG, jnp.float32)
-    hi_ref[:] = jnp.zeros((tq, k), jnp.int32)
+    def chunk(t, carry):
+        hd, hi = carry                                  # (TQ, k) head
+        js = pl.ds(t * tp, tp)
+        xs = xt_ref[:, js]                              # (3, TP)
+        # expanded-form distance as plain VPU FMAs (the K=3 HIGHEST
+        # matmul per chunk measured ~140 µs — it dominated the whole
+        # kernel). Same rounding-freedom class vs the dense path as the
+        # SA kernels: near-equal neighbors may order differently.
+        prod = (q[:, 0:1] * xs[0:1, :] + q[:, 1:2] * xs[1:2, :]
+                + q[:, 2:3] * xs[2:3, :])               # (TQ, TP)
+        d2 = jnp.maximum(q2 + sqx_ref[:, js] - 2.0 * prod, 0.0)
+        keys = jnp.where(pm_ref[:, js] > 0.5, -d2, -_BIG)
+        # tpu.iota must be integer; ids carried as exact f32
+        ti = (t * tp
+              + jax.lax.broadcasted_iota(jnp.int32, (tq, tp),
+                                         1)).astype(jnp.float32)
+        # skip the 2k extraction passes when no row of this chunk can
+        # beat its current k-th neighbor (for unsorted clouds most
+        # chunks stop contributing once the head converges)
+        rowmax = jnp.max(keys, axis=1, keepdims=True)
+        improves = jnp.max(rowmax - hd[:, k - 1:k]) > 0.0
 
-    def tile_cond(t):
-        return t < n_tiles
+        def do(args):
+            hd, hi, keys, ti = args
+            cv, ci = _extract_k(keys, ti, k)            # chunk top-k
+            # merge: equal keys resolve to the minimum global id — the
+            # dense path's lowest-index tie order
+            return _extract_k(jnp.concatenate([hd, cv], axis=1),
+                              jnp.concatenate([hi, ci], axis=1), k)
 
-    def tile_body(t):
-        p = p_ref[pl.ds(t * tp, tp), :].astype(jnp.float32)   # (TP, 3)
-        pm = pm_ref[pl.ds(t * tp, tp), :]                     # (TP, 1)
-        # EXACT op order of neighborhood.square_distance: -2qp, then +|q|²,
-        # then +|p|² — a different association is ±1ulp off and flips the
-        # ordering of near-equal neighbors vs the dense path
-        d2 = -2.0 * jax.lax.dot_general(
-            q, p, dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        d2 = d2 + q2
-        d2 = d2 + jnp.sum(p * p, axis=1)[None, :]
-        d2 = jnp.maximum(d2, 0.0)
-        td_ref[:] = jnp.where(pm[:, 0][None, :] > 0.5, d2, _BIG)
-        base = t * tp    # tile column offset; col = base + local iota
+        def skip(args):
+            return args[0], args[1]
 
-        def select_cond(carry):
-            return carry[0] < kdyn_ref[0, 0]
+        return jax.lax.cond(improves, do, skip, (hd, hi, keys, ti))
 
-        def select(carry):
-            j, out_d, out_i = carry                           # (TQ, k)
-            hd, hi = hd_ref[:], hi_ref[:]
-            td = td_ref[:]
-            ti = base + jax.lax.broadcasted_iota(jnp.int32, (tq, tp), 1)
-            md = jnp.minimum(jnp.min(hd, axis=1), jnp.min(td, axis=1))
-            # lowest index among ties across both pools (top_k / CUDA
-            # insertion-sort tie order); head & tile indices are disjoint
-            hit_h = hd == md[:, None]
-            hit_t = td == md[:, None]
-            mi = jnp.minimum(
-                jnp.min(jnp.where(hit_h, hi, _BIGI), axis=1),
-                jnp.min(jnp.where(hit_t, ti, _BIGI), axis=1))
-            hd_ref[:] = jnp.where(hit_h & (hi == mi[:, None]), _BIG, hd)
-            td_ref[:] = jnp.where(hit_t & (ti == mi[:, None]), _BIG, td)
-            # one-hot column update (dynamic_update_slice doesn't lower)
-            write = out_cols == j
-            out_d = jnp.where(write, md[:, None], out_d)
-            out_i = jnp.where(write, mi[:, None], out_i)
-            return j + 1, out_d, out_i
-
-        _, best_d, best_i = jax.lax.while_loop(
-            select_cond, select,
-            (jnp.int32(0), jnp.zeros((tq, k), jnp.float32),
-             jnp.zeros((tq, k), jnp.int32)))
-        # merged top-k becomes the head for the next tile
-        hd_ref[:] = best_d
-        hi_ref[:] = best_i
-        return t + 1
-
-    jax.lax.while_loop(tile_cond, tile_body, jnp.int32(0))
-    idx_ref[:] = hi_ref[:]
+    hd0 = jnp.full((tq, k), -_BIG, jnp.float32)
+    hi0 = jnp.zeros((tq, k), jnp.float32)
+    _, hi = jax.lax.fori_loop(0, n_chunks, chunk, (hd0, hi0))
+    idx_ref[:] = hi.astype(jnp.int32)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -122,8 +135,8 @@ def _round_up(x: int, m: int) -> int:
                                     "vmem_limit_bytes"))
 def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
                       points_mask: jnp.ndarray | None = None, *,
-                      k: int, tq: int = 128, tp: int = 1024,
-                      vmem_limit_bytes: int = 64 * 1024 * 1024,
+                      k: int, tq: int = 256, tp: int = 512,
+                      vmem_limit_bytes: int = 96 * 1024 * 1024,
                       interpret: bool = False) -> jnp.ndarray:
     """Indices of the k nearest valid `points` per `query` row.
 
@@ -151,34 +164,31 @@ def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
         pm = (jnp.arange(m_pad) < m)
     else:
         pm = jnp.zeros((m_pad,), bool).at[:m].set(points_mask)
-    pmf = pm.astype(jnp.float32)[:, None]
+    xt = pp.T                                           # (3, M)
+    sqx = jnp.sum(pp * pp, axis=1)[None, :]             # (1, M)
+    pmf = pm.astype(jnp.float32)[None, :]               # (1, M)
 
     idx = pl.pallas_call(
         functools.partial(_knn_kernel, k=k, tp=tp, m=m_pad),
         grid=(n_pad // tq,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((tq, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 3), lambda i: (0, 0),
+            pl.BlockSpec((3, m_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tq, k), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((tq, k), jnp.float32),
-            pltpu.VMEM((tq, k), jnp.int32),
-            pltpu.VMEM((tq, tp), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(jnp.full((1, 1), k, jnp.int32), qp, pp, pmf)[:n]
+    )(qp, xt, sqx, pmf)[:n]
 
     # first-hit padding for < k valid points (matches neighborhood.knn)
     nbr_valid = jnp.take(pm, idx)

@@ -84,15 +84,28 @@ class RadarTracker:
 
         k_max = model.k_max
 
-        def batched_step(variables, states, packed, flags):
+        def batched_step(variables, states, packed, flags, sids):
             """packed (B, N, 12) = [pc1|pc2|ft1|ft2|mask1|mask2];
-            flags (B, 2) = [active, new_seq].
+            flags (B, 2) = [active, new_seq]; sids (B,) stream slots.
+
+            B is the dispatch BUCKET (the smallest power of two covering
+            the staged streams — jit specializes per bucket), not
+            max_streams: a single active stream no longer pays an
+            8-stream program (VERDICT r2 #6). States for the bucket are
+            gathered from / scattered back to the full (S, ...) state
+            tree in-graph; padding rows carry distinct un-staged sids
+            with active=0, so their scatter rewrites the old state
+            byte-for-byte (distinctness keeps the scatter
+            deterministic).
 
             The eager path over the remote-TPU tunnel pays ~4 ms RTT PER
             ARRAY transferred; shipping the 14 FrameBatch leaves + pulling
             5 outputs cost ~150 ms/frame. One packed upload and one packed
             download keep the per-call latency at the sync-RTT floor.
             """
+            full_states = states
+            states = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, sids, axis=0), states)
             b, n = packed.shape[:2]
             zf = jnp.zeros((b, n), jnp.float32)
             zb3 = jnp.zeros((b, n, 3), jnp.float32)
@@ -117,6 +130,8 @@ class RadarTracker:
                     active.reshape((-1,) + (1,) * (new.ndim - 1)),
                     new, old),
                 new_states, states)
+            kept = jax.tree_util.tree_map(
+                lambda full, k: full.at[sids].set(k), full_states, kept)
             # ONE packed download: floats (warp, cls, conf) with the int
             # outputs (labels, track_id) BITCAST into float lanes — every
             # host sync over the tunnel costs a full ~35 ms RTT, so the
@@ -227,22 +242,33 @@ class RadarTracker:
                   if self._staged[sid] is not None]
         if not staged:
             return {}
-        b, n = self.max_streams, self.n_max
+        n = self.n_max
+        # smallest power-of-two bucket covering the staged streams: a
+        # lone producer dispatches a B=1 program, not B=max_streams
+        b = 1
+        while b < len(staged):
+            b *= 2
+        b = min(b, self.max_streams)
+        self.last_bucket = b          # observability / tests
+        sids = [sid for sid, _ in staged]
+        pad_pool = [s for s in range(self.max_streams) if s not in sids]
+        sids_full = sids + pad_pool[:b - len(sids)]
         packed = np.zeros((b, n, 12), np.float32)
         flags = np.zeros((b, 2), np.float32)
-        for sid, _ in staged:
+        for row, sid in enumerate(sids):
             pc1, ft1, m1 = self._pad_scan(self._staged[sid])
             pc2, ft2, m2 = self._pad_scan(self._prev[sid])
-            packed[sid, :, 0:3] = pc1
-            packed[sid, :, 3:6] = pc2
-            packed[sid, :, 6:8] = ft1
-            packed[sid, :, 8:10] = ft2
-            packed[sid, :, 10] = m1
-            packed[sid, :, 11] = m2
-            flags[sid] = (1.0, float(self._fresh[sid]))
+            packed[row, :, 0:3] = pc1
+            packed[row, :, 3:6] = pc2
+            packed[row, :, 6:8] = ft1
+            packed[row, :, 8:10] = ft2
+            packed[row, :, 10] = m1
+            packed[row, :, 11] = m2
+            flags[row] = (1.0, float(self._fresh[sid]))
         out, self._states = self._step(
             self._variables, self._states, jnp.asarray(packed),
-            jnp.asarray(flags))
+            jnp.asarray(flags),
+            jnp.asarray(np.asarray(sids_full, np.int32)))
         out = np.asarray(out)
         k = self.k_max
         warp = out[:, :3 * n].reshape(b, n, 3)
@@ -253,9 +279,9 @@ class RadarTracker:
         tid_all = ints[:, n:n + k]
 
         results: Dict[int, TrackOutput] = {}
-        for sid, scan in staged:
-            labels = labels_all[sid]
-            tid = tid_all[sid]
+        for row, (sid, scan) in enumerate(staged):
+            labels = labels_all[row]
+            tid = tid_all[row]
             pt_tid = np.where(labels >= 0,
                               tid[np.clip(labels, 0, self.k_max - 1)],
                               -1)
@@ -266,10 +292,10 @@ class RadarTracker:
                 labels=labels,
                 point_track_id=pt_tid.astype(np.int32),
                 track_id=tid,
-                conf=conf_all[sid],
-                moving=(cls[sid] > self.model.mov_thres)
+                conf=conf_all[row],
+                moving=(cls[row] > self.model.mov_thres)
                 & (np.arange(self.n_max) < n_pts),
-                flow=warp[sid] - pc1,
+                flow=warp[row] - pc1,
                 n_points=n_pts,
                 n_objects=int(np.sum(tid >= 0)),
             )

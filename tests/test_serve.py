@@ -125,10 +125,11 @@ class TestEquivalenceVsEvalPath:
             warp = np.asarray(ref["warp"][0, t])
             pc1 = np.zeros((N, 3), np.float32)
             pc1[:out.n_points] = scan[:, :3]
-            # the service dispatches at B=max_streams while the reference
-            # path compiled at B=1: XLA fuses the two programs differently,
-            # so backbone floats carry compilation-level rounding freedom
-            # (discrete labels/ids above must still match exactly)
+            # the service dispatches the B=1 bucket here while the
+            # reference path compiled its own B=1 program: XLA still
+            # fuses the two programs differently, so backbone floats
+            # carry compilation-level rounding freedom (discrete
+            # labels/ids above must match exactly)
             assert np.allclose(out.flow, warp - pc1, atol=1e-4)
 
     def test_multi_stream_isolation(self, model_and_vars):
@@ -160,9 +161,14 @@ class TestEquivalenceVsEvalPath:
                                       (solo["b"], joint_b)):
             assert len(solo_outs) == len(joint_outs)
             for o1, o2 in zip(solo_outs, joint_outs):
+                # solo runs dispatch the B=1 bucket, joint runs B=2 —
+                # different XLA programs, so floats carry
+                # compilation-level rounding freedom; discrete
+                # labels/ids must still match exactly
                 assert np.array_equal(o1.labels, o2.labels)
                 assert np.array_equal(o1.track_id, o2.track_id)
-                assert np.array_equal(o1.conf, o2.conf)
+                assert np.allclose(o1.conf, o2.conf, atol=1e-5)
+                assert np.allclose(o1.flow, o2.flow, atol=1e-4)
 
     def test_inactive_stream_state_frozen(self, model_and_vars):
         """A step for stream 0 must not touch stream 1's carried state."""
@@ -262,3 +268,27 @@ class TestConcurrency:
         for a, b in zip(solo, outs):
             assert np.array_equal(a.labels, b.labels)
             assert np.array_equal(a.track_id, b.track_id)
+
+
+class TestBucketedDispatch:
+    def test_bucket_sizes(self, model_and_vars):
+        """A lone staged stream dispatches the B=1 program; more streams
+        pick the smallest covering power-of-two bucket."""
+        model, variables = model_and_vars
+        svc = RadarTracker(model, variables, n_max=N, max_streams=8)
+        sids = [svc.open_stream() for _ in range(3)]
+        scans = [clip_scans(10 + i)[0] for i in range(3)]
+        # warm each stream (first scan -> no pair)
+        for sid, sc in zip(sids, scans):
+            svc.submit(sid, sc[0])
+        svc.submit(sids[0], scans[0][1])
+        svc.step()
+        assert svc.last_bucket == 1
+        svc.submit(sids[0], scans[0][2])
+        svc.submit(sids[1], scans[1][1])
+        svc.step()
+        assert svc.last_bucket == 2
+        for i, sid in enumerate(sids):
+            svc.submit(sid, scans[i][3 if i == 0 else 2])
+        svc.step()
+        assert svc.last_bucket == 4

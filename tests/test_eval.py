@@ -1,6 +1,8 @@
 """Tests for the offline evaluation subsystem: export round-trip,
 Kalman box tracker lifecycle, and point-set MOT metrics."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -356,3 +358,82 @@ def test_plot_projection_2d_writes_png(tmp_path):
                               image_shape=(1216, 1936), title="proj")
     import os
     assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+def test_label_box_corners_2d_pinhole_oracle():
+    """Axis-aligned box through an identity lidar/camera transform and a
+    pinhole projection: hand-computed corner pixels."""
+    from ratrack_tpu.utils.vis import label_box_corners_2d
+    from ratrack_tpu.data.vod import ObjectLabel
+
+    lb = ObjectLabel(type="Car", id=3, occ=0, alpha=0,
+                     bbox2d=np.zeros(4, np.float32),
+                     h=2.0, w=1.0, l=4.0, x=1.0, y=0.5, z=10.0,
+                     ry=-np.pi / 2)       # rotation term becomes 0
+    f, cx, cy = 100.0, 300.0, 200.0
+    p = np.array([[f, 0, cx, 0], [0, f, cy, 0], [0, 0, 1, 0]])
+    boxes = label_box_corners_2d([lb], np.eye(4), p)
+    assert len(boxes) == 1
+    b = boxes[0]
+    assert b["label_class"] == "Car" and b["id"] == 3
+    # corner 0 (ry=-pi/2 → rot=0): center + (l/2, w/2, 0) in "lidar" =
+    # camera frame here → (3, 1, 10) → u = f*3/10 + cx, v = f*1/10 + cy
+    np.testing.assert_allclose(b["corners"][0],
+                               [f * 3.0 / 10 + cx, f * 1.0 / 10 + cy],
+                               atol=1e-6)
+    # top face corner 4 adds h in z (depth) → (3, 1, 12)
+    np.testing.assert_allclose(b["corners"][4],
+                               [f * 3.0 / 12 + cx, f * 1.0 / 12 + cy],
+                               atol=1e-6)
+    assert np.isfinite(np.asarray(b["corners"])).all()
+    assert b["range"] == pytest.approx(np.linalg.norm([1.0, 0.5, 10.0]))
+
+
+def test_plot_projection_2d_with_labels_writes_png(tmp_path):
+    from ratrack_tpu.utils.vis import plot_projection_2d_with_labels
+    from ratrack_tpu.data.vod import ObjectLabel
+    rng = np.random.RandomState(0)
+    pts = np.concatenate([rng.rand(60, 1) * 20 + 2,
+                          rng.randn(60, 2) * 3], axis=1)[:, [1, 2, 0]]
+    lb = ObjectLabel(type="Pedestrian", id=1, occ=0, alpha=0,
+                     bbox2d=np.zeros(4, np.float32),
+                     h=1.8, w=0.6, l=0.6, x=0.0, y=0.0, z=8.0, ry=0.2)
+    p = np.array([[500.0, 0, 968, 0], [0, 500.0, 608, 0], [0, 0, 1, 0]])
+    path = plot_projection_2d_with_labels(
+        str(tmp_path / "proj_labels.png"), pts, [lb], np.eye(4),
+        np.eye(4), p, title="labels overlay")
+    assert os.path.getsize(path) > 2000
+
+
+EXAMPLE_SET_DIR = "/root/reference/src/dataset_classes/vod/example_set"
+
+
+@pytest.mark.skipif(not os.path.isdir(EXAMPLE_SET_DIR),
+                    reason="reference example_set absent")
+def test_label_overlay_on_real_frame(tmp_path):
+    """Real example_set frame: real calib + real detection labels render
+    through the overlay; corners of near boxes land on the canvas."""
+    from ratrack_tpu.data.vod import VodLocations, FrameData, Transforms
+    from ratrack_tpu.data.projection import read_intrinsic
+    from ratrack_tpu.utils.vis import (label_box_corners_2d,
+                                       plot_projection_2d_with_labels)
+    from tests.test_real_data import detection_labels_as_objects
+
+    loc = VodLocations(EXAMPLE_SET_DIR)
+    frame = FrameData(loc, "01047")
+    tf = Transforms(frame)
+    p = read_intrinsic(frame, "radar")
+    labels = list(detection_labels_as_objects(
+        frame.detection_labels).values())
+    boxes = label_box_corners_2d(labels, tf.t_camera_lidar, p)
+    assert boxes == sorted(boxes, key=lambda b: b["range"])
+    near = [b for b in boxes if b["range"] < 25]
+    assert near, "expected nearby labels in the real frame"
+    on_canvas = [b for b in near
+                 if ((np.asarray(b["corners"])[:, 0] > -500).all()
+                     and (np.asarray(b["corners"])[:, 0] < 2500).all())]
+    assert on_canvas
+    path = plot_projection_2d_with_labels(
+        str(tmp_path / "real_overlay.png"), frame.radar[:, :3], labels,
+        tf.t_camera_radar, tf.t_camera_lidar, p)
+    assert os.path.getsize(path) > 2000

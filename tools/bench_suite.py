@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def _bench(fn, args, n_frames, reps=5):
+def _bench(fn, args, n_frames, reps=5, profile=False):
     import jax
     t0 = time.time()
     out = fn(*args)
@@ -31,9 +31,39 @@ def _bench(fn, args, n_frames, reps=5):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / reps
-    return dict(fps=round(n_frames / dt, 2),
-                ms_per_frame=round(1000 * dt / n_frames, 3),
-                compile_s=round(compile_s, 1))
+    row = dict(fps=round(n_frames / dt, 2),
+               ms_per_frame=round(1000 * dt / n_frames, 3),
+               compile_s=round(compile_s, 1))
+    if profile:
+        row.update(_profile(fn, args, n_frames))
+    return row
+
+
+def _profile(fn, args, n_frames):
+    """One traced dispatch → MFU + device-time category breakdown."""
+    import shutil
+    import tempfile
+
+    import jax
+    trace_dir = tempfile.mkdtemp(prefix="ratrack_suite_prof")
+    try:
+        with jax.profiler.trace(trace_dir):
+            out = fn(*args)
+            jax.block_until_ready(out)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from xprof_breakdown import analyze_trace
+        r = analyze_trace(trace_dir)
+        return dict(
+            mfu=r.get("mfu"),
+            device_ms_per_frame=round(
+                r.get("device_time_ms", 0.0) / n_frames, 3),
+            breakdown_pct={k: v["pct"]
+                           for k, v in r.get("breakdown", {}).items()
+                           if v["pct"] >= 1.0})
+    except Exception as e:  # profiling must never sink the suite
+        return dict(profile_error=f"{type(e).__name__}: {e}")
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
 
 
 def _setup(n_max, b, t, sinkhorn=500, mov_budget=0, exact_fps=False,
@@ -91,7 +121,7 @@ def main():
     # 2. full eval throughput (configs 2/5 shape)
     model, variables, frames, tstates = _setup(512, 8, 32)
     r = _bench(make_scan_eval_step(model), (variables, tstates, frames),
-               8 * 32)
+               8 * 32, profile=True)
     results.append(dict(scenario="eval_512pt_8streams", **r))
 
     # 3. fused training (config 3 shape: batch 8, single chip)
@@ -103,15 +133,31 @@ def main():
     tx = make_optimizer(cfg, 100)
     scan_train = make_scan_train_step(model, tx)
     r = _bench(lambda *a: scan_train(*a)[2],
-               (ts, tstates, frames, jnp.asarray(False)), 8 * 8, reps=3)
+               (ts, tstates, frames, jnp.asarray(False)), 8 * 8, reps=3,
+               profile=True)
     results.append(dict(scenario="train_512pt_8streams", **r))
 
-    # 4. 8k stretch eval (config 4 shape)
+    # 4. 8k stretch eval (config 4 shape) — the compute-bound regime
+    # where MFU is meaningful (VERDICT r2 #5)
     model, variables, frames, tstates = _setup(
         8192, 1, 4, exact_fps=True, mov_budget=512)
     r = _bench(make_scan_eval_step(model), (variables, tstates, frames),
-               4, reps=3)
+               4, reps=3, profile=True)
     results.append(dict(scenario="eval_8192pt_stretch", **r))
+
+    # 4b. 8k stretch fused training
+    cfg8 = Config(n_max=8192, k_max=32, g_max=32, npoints=512,
+                  sinkhorn_iters=500, exact_fps=True, mov_budget=512)
+    model, variables, frames, tstates = _setup(
+        8192, 2, 2, exact_fps=True, mov_budget=512)
+    frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
+    ts = create_train_state(model, cfg8, frame0, init_state(32), 100)
+    tx = make_optimizer(cfg8, 100)
+    scan_train = make_scan_train_step(model, tx)
+    r = _bench(lambda *a: scan_train(*a)[2],
+               (ts, tstates, frames, jnp.asarray(False)), 2 * 2, reps=3,
+               profile=True)
+    results.append(dict(scenario="train_8192pt_stretch", **r))
 
     # 5. online serving latency: single stream, ONE frame per dispatch
     # (what serve.RadarTracker.track pays per scan, incl. host round-trip)
@@ -131,9 +177,13 @@ def main():
     for _ in range(reps):
         svc.track(sid, scan())
     dt = (time.time() - t0) / reps
+    # device time of the B=1 bucket dispatch (VERDICT r2 #6: a lone
+    # stream must pay a B=1 program, reported from the device timeline)
+    prof = _profile(lambda: svc.track(sid, scan()), (), 1)
     results.append(dict(scenario="serve_latency_1stream",
                         ms_per_frame=round(1000 * dt, 3),
-                        fps=round(1 / dt, 2), compile_s=0.0))
+                        fps=round(1 / dt, 2), compile_s=0.0,
+                        bucket=svc.last_bucket, **prof))
 
     for row in results:
         row["backend"] = jax.default_backend()

@@ -17,12 +17,14 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops import knn_auto as knn, group
 from ..ops import pallas_sa
 from ..ops.pallas_correlator import TILE_M, fused_knn_weight_aggregate
+from ..ops.pallas_correlator_train import fused_knn_weight_aggregate_train
 from .layers import PointwiseMLP, WeightNet
 
 
@@ -39,6 +41,7 @@ class FeatureCorrelator(nn.Module):
     mlp: Sequence[int] = (256, 256, 256)
     dtype: jnp.dtype = jnp.float32
     fused_eval: bool = True
+    fused_train: bool = True
 
     @nn.compact
     def __call__(self, pc1, pc2, f1, f2, mask1=None, mask2=None,
@@ -86,6 +89,47 @@ class FeatureCorrelator(nn.Module):
             cost = fused_knn_weight_aggregate(
                 pc1, pc1, cost, None, mask1, [], [], wn2_ws, wn2_bs,
                 k=self.nsample, compute_dtype=self.dtype)
+            return cost.astype(self.dtype)
+
+        # TRAIN path: both stages as custom-VJP fused kernels
+        # (ops/pallas_correlator_train.py) — the 256-channel grouped
+        # gathers and their HIGHEST scatter-add backwards were the
+        # second-largest block of the profiled train step
+        fused_t = (train and self.fused_train
+                   and pallas_sa.fused_available()
+                   and n % 128 == 0 and n <= 1024)
+        if fused_t:
+            _ = mlp_mod(jnp.zeros((1, 1, d1 + d2c + 3), self.dtype),
+                        train=False)
+            _ = wn1(jnp.zeros((1, 1, 3), self.dtype))
+            _ = wn2(jnp.zeros((1, 1, 3), self.dtype))
+            mp = mlp_mod.variables["params"]
+            w1 = mp["dense_0"]["kernel"].astype(jnp.float32)
+            b1 = mp["dense_0"]["bias"].astype(jnp.float32)
+            w_f1, w_f2, w_dir = w1[:d1], w1[d1:d1 + d2c], w1[d1 + d2c:]
+            # HIGHEST hoists: the absolute-coordinate Wdir terms cancel
+            # only inside the kernel's add — a bf16-pass rounding here
+            # would dwarf the pair-relative values
+            hp = jax.lax.Precision.HIGHEST
+            f1_32 = f1.astype(jnp.float32)
+            f2_32 = f2.astype(jnp.float32)
+            # coordinate term stays OUT of the hoists: the kernel adds
+            # dir @ W_dir from its exact gathered directions, so the
+            # bf16 feature gather never rounds absolute coordinates
+            add_q = jnp.dot(f1_32, w_f1, precision=hp)
+            feats_p = jnp.dot(f2_32, w_f2, precision=hp) + b1[None, :]
+            mlp_ws = [mp[f"dense_{i}"]["kernel"].astype(jnp.float32)
+                      for i in range(1, len(self.mlp))]
+            mlp_bs = [mp[f"dense_{i}"]["bias"].astype(jnp.float32)
+                      for i in range(1, len(self.mlp))]
+            wn1_ws, wn1_bs = _wn_params(wn1.variables)
+            wn2_ws, wn2_bs = _wn_params(wn2.variables)
+            cost = fused_knn_weight_aggregate_train(
+                pc1, pc2, feats_p, add_q, mask2, mlp_ws, mlp_bs,
+                wn1_ws, wn1_bs, w_dir=w_dir, k=self.nsample)
+            cost = fused_knn_weight_aggregate_train(
+                pc1, pc1, cost, None, mask1, [], [], wn2_ws, wn2_bs,
+                k=self.nsample)
             return cost.astype(self.dtype)
 
         # --- point-to-patch cost volume over pc2 ---

@@ -61,11 +61,12 @@ class FlowDecoder(nn.Module):
     exact_fps: bool = False
     dtype: jnp.dtype = jnp.float32
     fused_eval: bool = True
+    fused_train: bool = True
 
     def setup(self):
         self.cp = ClsPredictor(dtype=self.dtype)
         self.mse = PNHead(self.npoint, self.exact_fps, self.dtype,
-                          self.fused_eval)
+                          self.fused_eval, self.fused_train)
         self.gru = StackedGRU(self.feat_dim, self.gru_layers, self.dtype)
         self.fp = FlowPredictor(dtype=self.dtype)
 

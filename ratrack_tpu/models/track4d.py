@@ -63,15 +63,18 @@ class Track4D(nn.Module):
     exact_fps: bool = False
     dtype: Any = jnp.float32
     fused_eval: bool = True   # Pallas fused SA scales on the eval path
+    fused_train: bool = True  # custom-VJP fused SA/correlator train path
 
     def setup(self):
         self.pn_head = PNHead(self.npoint, self.exact_fps, self.dtype,
-                              self.fused_eval)
+                              self.fused_eval, self.fused_train)
         self.fc_layer = FeatureCorrelator(16, (256, 256, 256), self.dtype,
-                                          self.fused_eval)
+                                          self.fused_eval,
+                                          self.fused_train)
         self.fd_layer = FlowDecoder(self.npoint, self.feat_dim,
                                     self.gru_layers, self.exact_fps,
-                                    self.dtype, self.fused_eval)
+                                    self.dtype, self.fused_eval,
+                                    self.fused_train)
         self.affinity = Affinity(141, self.dtype)
         # registered-but-unused learnable bin score, as in the reference
         # (track4d.py:41-42 registers it; :167 uses the constant 0.9).

@@ -84,30 +84,6 @@ def _pick_chunk(n: int) -> int:
             return c
     raise ValueError(f"cloud size {n} not a multiple of {TILE_M}")
 
-
-_SLOT_BLOCK = 8
-
-
-def _blocked_slot_gather(rank, p1c, nsample, tile, compute_dtype,
-                         precision, add_fn):
-    """Slot compaction in blocks of _SLOT_BLOCK: ONE one-hot dot per
-    block instead of per slot — per-slot dots are dot-issue-bound
-    (~2 µs each, measured in the train-kernel work), and each output
-    element still sums exactly one product, so results are
-    bit-identical to the per-slot loop. `add_fn(s0, g, vals)` receives
-    the (g, tile, C1) block to accumulate."""
-    g = min(nsample, _SLOT_BLOCK)
-    s_io = jax.lax.broadcasted_iota(jnp.int32, (g, 1, 1),
-                                    0).astype(jnp.float32)
-    for s0 in range(0, nsample, g):
-        sv = s_io + float(s0 + 1)
-        oh = (rank[None] == sv).astype(compute_dtype)
-        ohf = oh.reshape(g * rank.shape[0], rank.shape[1])
-        vals = jax.lax.dot(ohf, p1c,
-                           preferred_element_type=jnp.float32,
-                           precision=precision)
-        add_fn(s0, g, vals.reshape(g, rank.shape[0], p1c.shape[1]))
-
 # test hook: lets the CPU suite route SetAbstractionMSG through the fused
 # (interpreted) path; on TPU the model uses it whenever `fused_eval` is set
 FORCE_FUSED_ON_CPU = False
@@ -197,15 +173,13 @@ def _sa_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, p1_ref, cw_ref,
         rank = jnp.where(hitf > 0.0, rank + hits_ref[...], 0.0)
         hits_ref[...] += jnp.sum(hitf, axis=1, keepdims=True)
 
-        # slot compaction: G[s] = onehot(rank == s+1) @ P1 — exact
-        # gather, blocked _SLOT_BLOCK slots per dot
+        # slot compaction: G[s] = onehot(rank == s+1) @ P1 — exact gather
         p1c = p1_ref[js, :].astype(compute_dtype)     # (CHUNK, C1)
-
-        def add(s0, g, vals):
-            slots_ref[s0:s0 + g, :, :] += vals
-
-        _blocked_slot_gather(rank, p1c, nsample, tile, compute_dtype,
-                             precision, add)
+        for s in range(nsample):
+            oh = (rank == float(s + 1)).astype(compute_dtype)
+            slots_ref[s, :, :] += jax.lax.dot(
+                oh, p1c, preferred_element_type=jnp.float32,
+                precision=precision)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -266,19 +240,17 @@ def _sa_pair_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref,
         hitsb_ref[...] += jnp.sum(hitb, axis=1, keepdims=True)
 
         p1ca = p1a_ref[js, :].astype(compute_dtype)
-
-        def add_a(s0, g, vals):
-            slotsa_ref[s0:s0 + g, :, :] += vals
-
-        _blocked_slot_gather(ranka, p1ca, nsa, tile, compute_dtype,
-                             precision, add_a)
+        for s in range(nsa):
+            oh = (ranka == float(s + 1)).astype(compute_dtype)
+            slotsa_ref[s, :, :] += jax.lax.dot(
+                oh, p1ca, preferred_element_type=jnp.float32,
+                precision=precision)
         p1cb = p1b_ref[js, :].astype(compute_dtype)
-
-        def add_b(s0, g, vals):
-            slotsb_ref[s0:s0 + g, :, :] += vals
-
-        _blocked_slot_gather(rankb, p1cb, nsb, tile, compute_dtype,
-                             precision, add_b)
+        for s in range(nsb):
+            oh = (rankb == float(s + 1)).astype(compute_dtype)
+            slotsb_ref[s, :, :] += jax.lax.dot(
+                oh, p1cb, preferred_element_type=jnp.float32,
+                precision=precision)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)

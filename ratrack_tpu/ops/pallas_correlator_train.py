@@ -39,14 +39,11 @@ in-kernel dots are the documented SA-kernel rounding class
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from .sampling import _bf16_parts
 
 _BIG = 1e10
 _VMEM_LIMIT = 96 * 1024 * 1024
@@ -55,15 +52,6 @@ _SLOT_BLOCK = 8
 
 def _leaky(x):
     return jnp.where(x > 0.0, x, 0.1 * x)
-
-
-def _cat3(v):
-    """(R, C) f32 → (R, 3C) bf16 [hi | mid | lo] (exact parts)."""
-    return jnp.concatenate(_bf16_parts(v.astype(jnp.float32)), axis=1)
-
-
-def _fold3(o3, c):
-    return o3[..., :c] + o3[..., c:2 * c] + o3[..., 2 * c:]
 
 
 def _select_ids(q, xpt, sqp, maskf, k):

@@ -65,8 +65,7 @@ def main(argv=None):
     from ratrack_tpu.train.step import (make_scan_eval_step_cached,
                                         make_scan_train_step,
                                         create_train_state,
-                                        make_optimizer,
-                                        train_compiler_options)
+                                        make_optimizer)
     from ratrack_tpu.tracker import init_state
 
     results = []

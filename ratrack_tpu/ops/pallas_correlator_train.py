@@ -15,18 +15,24 @@ custom_vmap exactly as in ops/pallas_sa_train.py):
     distance matrix (lowest-index ties; fewer than k valid points →
     slots repeat the nearest valid neighbor, feature AND direction; no
     valid point → index 0) — the ops.neighborhood.knn padding rule;
-  * gathers: per-slot-block one-hot dots against the 3-way bf16 split
-    of the hoisted features (exact — and at C=256 the 3-slice fold is
-    lane-aligned, unlike the SA case); directions via a small HIGHEST
+  * gathers: per-slot-block one-hot dots; features in a SINGLE bf16
+    pass (their consumers are bf16-operand dots or the weighted sum —
+    the same truncation class), directions via a small exact HIGHEST
     dot;
-  * stage 1 (`add_q` present): h = leaky(slots + add_q) then the
-    remaining leaky MLP layers; stage 2: the raw slots;
+  * stage 1 (`add_q` present): h = leaky(slots + add_q + dir @ W_dir) —
+    the layer-1 COORDINATE term is applied in-kernel from the exact
+    directions, so the absolute-coordinate cancellation never meets the
+    bf16 feature rounding (the wrapper's hoists carry only
+    feature-scale values) — then the remaining leaky MLP layers;
+    stage 2: the raw slots;
   * WeightNet: 3 biased ReLU layers on the (k·N, 3) directions;
   * out = Σ_s mlp_s ⊙ wn_s;
   * backward: recompute, then backprop the product, the two chains
     (leaky' from post-activation sign — leaky preserves sign; relu'
-    likewise), scatter d_slots to d_feats_p with exact split one-hot
-    transposes, route d_dirs to d_points (scatter) and d_query (−Σ).
+    likewise), scatter d_slots to d_feats_p with single-pass bf16
+    one-hot transposes (cotangent truncation, same class), route d_dirs
+    — WeightNet chain plus the layer-1 dz0 @ W_dirᵀ term — to d_points
+    (exact scatter) and d_query (−Σ), and emit dW_dir.
     Selection gets no gradient (integer indices, as in the reference's
     CUDA ops).
 

@@ -42,6 +42,13 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
     # jnp.asarray, not .astype: a host ndarray input would stay NumPy and
     # xyz[<traced index>] inside the loop then fails at trace time
     xyz = jnp.asarray(xyz, jnp.float32)
+    if jax.default_backend() == "tpu" and n % 128 == 0 and npoint > 1:
+        # fused kernel: the XLA loop below costs 2·npoint tiny
+        # launch-overhead-bound fusions (~4 µs each — ~2 ms/frame at the
+        # 8k stretch); the kernel runs the same loop in one program.
+        # Selection is bit-matched (pallas_fps_kernel.py docstring).
+        from .pallas_fps_kernel import fps_indices_fused
+        return fps_indices_fused(xyz, npoint, mask)
     if mask is None:
         mask = jnp.ones((n,), dtype=bool)
     # running min-distance; invalid points pinned to -1 so argmax skips them

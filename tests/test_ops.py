@@ -49,6 +49,42 @@ def test_fps_more_samples_than_points_covers_all(rng):
     assert np.all(got < 10)  # never selects padding
 
 
+def test_fps_fused_kernel_matches_xla_loop(rng):
+    """pallas_fps_kernel (interpret) ≡ the XLA fori_loop path, which the
+    oracle tests above pin; covers unmasked/masked/duplicate regimes."""
+    from ratrack_tpu.ops.pallas_fps_kernel import fps_indices_fused
+
+    n = 128
+    pts = rng.randn(n, 3).astype(np.float32) * 5
+    mask = rng.rand(n) < 0.6
+    cases = [
+        (jnp.asarray(pts), 16, None),                   # unmasked
+        (jnp.asarray(pts), 32, jnp.asarray(mask)),      # masked
+        (jnp.asarray(pts), 128, jnp.asarray(rng.rand(n) < 0.1)),
+        # duplicates: npoint far beyond the valid count
+    ]
+    for xyz, npoint, m in cases:
+        want = np.asarray(ops.furthest_point_sample(xyz, npoint, m))
+        got = np.asarray(fps_indices_fused(xyz, npoint, m,
+                                           interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_fps_fused_kernel_batched(rng):
+    """The custom_vmap grid batching the model's train/eval steps use."""
+    from ratrack_tpu.ops.pallas_fps_kernel import fps_indices_fused
+
+    b, n = 3, 128
+    pts = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+    mask = jnp.asarray(rng.rand(b, n) < 0.7)
+    got = jax.vmap(lambda p, m: fps_indices_fused(
+        p, 24, m, interpret=True))(pts, mask)
+    for i in range(b):
+        want = ops.furthest_point_sample(pts[i], 24, mask[i])
+        np.testing.assert_array_equal(np.asarray(got[i]),
+                                      np.asarray(want))
+
+
 def test_identity_sample(rng):
     _, _, mask = _padded(rng, 10, 32)
     got = np.asarray(ops.identity_sample(32, 32, jnp.asarray(mask)))

@@ -128,48 +128,6 @@ def test_gradient_flows_through_tiled_distances(rng):
     assert np.abs(np.asarray(gq)).sum() > 0
 
 
-class TestPallasGather:
-    """MXU one-hot gather kernel (ops/pallas_gather.py), interpret mode."""
-
-    def test_fwd_exact(self, rng):
-        from ratrack_tpu.ops.pallas_gather import gather_rows
-        tbl = jnp.asarray(rng.randn(512, 64).astype(np.float32))
-        idx = jnp.asarray(rng.randint(0, 512, 4000).astype(np.int32))
-        got = gather_rows(tbl, idx, True)
-        np.testing.assert_array_equal(np.asarray(got),
-                                      np.asarray(jnp.take(tbl, idx, axis=0)))
-
-    def test_bwd_matches_scatter_add(self, rng):
-        import jax
-        from ratrack_tpu.ops.pallas_gather import gather_rows
-        tbl = jnp.asarray(rng.randn(128, 32).astype(np.float32))
-        idx = jnp.asarray(rng.randint(0, 128, 2048).astype(np.int32))
-
-        g1 = jax.grad(lambda t: jnp.sum(jnp.cos(
-            gather_rows(t, idx, True))))(tbl)
-        g2 = jax.grad(lambda t: jnp.sum(jnp.cos(
-            jnp.take(t, idx, axis=0))))(tbl)
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                                   rtol=1e-5, atol=1e-5)
-
-    def test_vmap(self, rng):
-        import jax
-        from ratrack_tpu.ops.pallas_gather import gather_rows
-        tbl = jnp.asarray(rng.randn(3, 256, 16).astype(np.float32))
-        idx = jnp.asarray(rng.randint(0, 256, (3, 1500)).astype(np.int32))
-        got = jax.vmap(lambda t, i: gather_rows(t, i, True))(tbl, idx)
-        want = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(tbl, idx)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
-    def test_dispatcher_fallback_small(self, rng):
-        from ratrack_tpu.ops.pallas_gather import take_rows
-        tbl = jnp.asarray(rng.randn(64, 8).astype(np.float32))
-        idx = jnp.asarray(rng.randint(0, 64, (10, 4)).astype(np.int32))
-        got = take_rows(tbl, idx)     # m < threshold → jnp.take path
-        np.testing.assert_array_equal(np.asarray(got),
-                                      np.asarray(jnp.take(tbl, idx, axis=0)))
-
-
 @pytest.mark.parametrize("m,n,ns,chunk", [(300, 200, 8, 128),
                                           (512, 512, 32, 256)])
 def test_ball_query_chunked_matches_dense(rng, m, n, ns, chunk):

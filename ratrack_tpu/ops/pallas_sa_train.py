@@ -325,6 +325,278 @@ def _bwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
             dp1_ref[0:1, :] += row0
 
 
+# ---------------------------------------------------------------------------
+# Stream-lane-packed variants (pk > 1).
+#
+# The per-op profile of the fused train step (tools/profile_train_ops.py)
+# shows the SA kernels are VPU-elementwise-bound, and every (ns·M, C)
+# stage tensor at C < 128 wastes lanes of each (8, 128) register tile:
+# sa1's C=16 uses 12.5%, sa2's C=32 25%, sa3's C=64 50%. Packing pk
+# streams side-by-side along lanes — act[(r, p·C+c)] = stream p's
+# act[r, c] — makes every elementwise/reduce pass full-width while
+# keeping per-stream semantics EXACT:
+#   * gathers stay per-stream (exact 3-split one-hot dots, unchanged)
+#     and lane-concat into the packed tensor (measured bit-exact);
+#   * MLP dots become block-diagonal kron(I_pk, W) dots — bit-identical
+#     to the per-stream narrow dot (zero blocks contribute exact zeros;
+#     measured on-chip), and MXU-time-neutral (the pk× extra MACs
+#     exactly replace the K/width padding waste of the narrow dot);
+#   * BN statistics reduce over the same rows per lane group, so each
+#     stream's mu/var/backward terms are bit-equal to the pk=1 kernel;
+#   * the grid shrinks to B/pk steps, each doing pk streams' work.
+# The duplicate-slot livefix/scatter logic runs packed with per-stream
+# hit counts broadcast into their lane groups; the backward scatter
+# extracts per-stream lanes by value slices (reads, not scratch-ref
+# lane offsets — Mosaic wants lane-aligned refs).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
+                   p1cat_ref, p1row0_ref, *refs, r2: float, ns: int,
+                   cs: Sequence[int], eps: float, pk: int):
+    """Packed forward: refs carry (pk, ...) stream blocks; weight refs are
+    block-diagonal / lane-tiled; outputs are lane-packed per stream."""
+    n_layers = len(cs)
+    ws = refs[:n_layers - 1]
+    scales = refs[n_layers - 1:2 * n_layers - 1]
+    biases = refs[2 * n_layers - 1:3 * n_layers - 1]
+    outs = refs[3 * n_layers - 1:3 * n_layers - 1 + 1 + 2 * n_layers]
+    pooled_ref = outs[0]
+    mu_refs = outs[1:1 + n_layers]
+    var_refs = outs[1 + n_layers:1 + 2 * n_layers]
+    act_refs = refs[3 * n_layers - 1 + 1 + 2 * n_layers:]
+
+    m = c_ref.shape[1]
+    c1 = cs[0]
+    count = jnp.float32(ns * m)
+
+    ranks, hits_lanes, first0 = _packed_selection_gather(
+        xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref, p1cat_ref,
+        p1row0_ref, act_refs[0], r2=r2, ns=ns, c1=c1, m=m, pk=pk)
+    del ranks, hits_lanes, first0
+
+    for li in range(n_layers):
+        if li > 0:
+            a_prev = act_refs[li - 1][...]
+            act_refs[li][...] = jax.lax.dot(
+                a_prev.astype(jnp.bfloat16),
+                ws[li - 1][...].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        h = act_refs[li][...]
+        mu, var = _batch_stats(h, count)
+        mu_refs[li][...] = mu
+        var_refs[li][...] = var
+        inv = jax.lax.rsqrt(var + eps) * scales[li][...]
+        act_refs[li][...] = jnp.maximum((h - mu) * inv + biases[li][...],
+                                        0.0)
+
+    a_last = act_refs[-1][...].reshape(ns, m, pk * cs[-1])
+    pooled_ref[...] = jnp.max(a_last, axis=0)
+
+
+def _packed_selection_gather(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref,
+                             cw_ref, p1cat_ref, p1row0_ref, act0_ref, *,
+                             r2, ns, c1, m, pk):
+    """Per-stream selection + packed g1 materialization into act0_ref.
+
+    Returns (ranks list, hits_lanes (m, pk·c1), first (m, pk·c1)) for
+    reuse by the backward's scatter."""
+    ut = ut_ref[...]
+    ranks, hits_l = [], []
+    for p in range(pk):
+        rank_p, hits_p = _selection(xt_ref[p], sqx_ref[p], maskf_ref[p],
+                                    ut, c_ref[p], r2)
+        ranks.append(rank_p)
+        hits_l.append(hits_p * jnp.ones((m, c1), jnp.float32))
+    hits_lanes = jnp.concatenate(hits_l, axis=1)        # (m, pk·c1)
+    cw_pk = jnp.concatenate([cw_ref[p] for p in range(pk)], axis=1)
+    row0_pk = jnp.concatenate([p1row0_ref[p] for p in range(pk)], axis=1)
+
+    g = min(ns, _SLOT_BLOCK)
+    nblk = ns // g
+    s_io = jax.lax.broadcasted_iota(jnp.int32, (g, m, 1),
+                                    0).astype(jnp.float32)
+
+    def block(s0):
+        sv = s_io[:, 0:1, 0:1] + (s0 + 1.0)
+        pieces = []
+        for p in range(pk):
+            oh = (ranks[p][None] == sv).astype(jnp.bfloat16).reshape(
+                g * m, -1)
+            pieces.append(_fold3(jax.lax.dot(
+                oh, p1cat_ref[p], preferred_element_type=jnp.float32),
+                c1))
+        return jnp.concatenate(pieces, axis=1)          # (g·m, pk·c1)
+
+    sb0 = block(0.0)
+    first = jnp.where(hits_lanes > 0.0, sb0[0:m], row0_pk)
+
+    def livefix(sb, s0):
+        live = (s_io + s0) < hits_lanes[None]           # (g, m, pk·c1)
+        out = jnp.where(live, sb.reshape(g, m, pk * c1),
+                        first[None]) - cw_pk[None]
+        return out.reshape(g * m, pk * c1)
+
+    act0_ref[0:g * m, :] = livefix(sb0, 0.0)
+
+    def body(i, _):
+        s0 = i.astype(jnp.float32) * g
+        act0_ref[pl.ds(i * (g * m), g * m), :] = livefix(block(s0), s0)
+        return 0
+
+    jax.lax.fori_loop(1, nblk, body, 0)
+    return ranks, hits_lanes, first
+
+
+def _bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
+                   p1cat_ref, p1row0_ref, *refs, r2: float, ns: int,
+                   cs: Sequence[int], eps: float, pk: int):
+    """Packed backward: recompute forward packed, backprop, scatter dP1
+    per stream (value lane-slices feed the exact per-stream one-hots)."""
+    n_layers = len(cs)
+    ws = refs[:n_layers - 1]
+    scales = refs[n_layers - 1:2 * n_layers - 1]
+    biases = refs[2 * n_layers - 1:3 * n_layers - 1]
+    dpooled_ref = refs[3 * n_layers - 1]
+    k = 3 * n_layers
+    dp1_ref = refs[k]                    # (pk, N, C1)
+    dcw_ref = refs[k + 1]                # (m, pk·C1)
+    dw_refs = refs[k + 2:k + 1 + n_layers]
+    dscale_refs = refs[k + 1 + n_layers:k + 1 + 2 * n_layers]
+    dbias_refs = refs[k + 1 + 2 * n_layers:k + 1 + 3 * n_layers]
+    scr = refs[k + 1 + 3 * n_layers:]
+    xhat_refs = scr[:n_layers]
+    d_refs = scr[n_layers:]
+
+    m = c_ref.shape[1]
+    c1 = cs[0]
+    count = jnp.float32(ns * m)
+
+    ranks, hits_lanes, _first = _packed_selection_gather(
+        xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref, p1cat_ref,
+        p1row0_ref, xhat_refs[0], r2=r2, ns=ns, c1=c1, m=m, pk=pk)
+
+    mus, invs = [], []
+    a_prev = None
+    for li in range(n_layers):
+        if li > 0:
+            xhat_refs[li][...] = jax.lax.dot(
+                a_prev.astype(jnp.bfloat16),
+                ws[li - 1][...].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        h = xhat_refs[li][...]
+        mu, var = _batch_stats(h, count)
+        inv = jax.lax.rsqrt(var + eps)
+        mus.append(mu)
+        invs.append(inv)
+        xhat_refs[li][...] = (h - mu) * inv
+        a_prev = jnp.maximum(xhat_refs[li][...] * scales[li][...]
+                             + biases[li][...], 0.0)
+
+    c_last = cs[-1]
+    a3 = a_prev.reshape(ns, m, pk * c_last)
+    pooled = jnp.max(a3, axis=0)
+    ties = (a3 == pooled[None]).astype(jnp.float32)
+    cnt = jnp.sum(ties, axis=0)
+    dpool = dpooled_ref[...] / cnt
+    d_refs[-1][...] = (ties * dpool[None]).reshape(ns * m, pk * c_last)
+
+    for li in range(n_layers - 1, -1, -1):
+        xhat = xhat_refs[li][...]
+        z = xhat * scales[li][...] + biases[li][...]
+        dz = d_refs[li][...] * (z > 0.0).astype(jnp.float32)
+        dscale_refs[li][...] = jnp.sum(dz * xhat, axis=0, keepdims=True)
+        dbias_refs[li][...] = jnp.sum(dz, axis=0, keepdims=True)
+        dxhat = dz * scales[li][...]
+        dh = invs[li] * (dxhat
+                         - jnp.sum(dxhat, axis=0, keepdims=True) / count
+                         - xhat * (jnp.sum(dxhat * xhat, axis=0,
+                                           keepdims=True) / count))
+        if li > 0:
+            a_lm1 = jnp.maximum(
+                xhat_refs[li - 1][...] * scales[li - 1][...]
+                + biases[li - 1][...], 0.0)
+            dw_refs[li - 1][...] = jax.lax.dot_general(
+                a_lm1.astype(jnp.bfloat16), dh.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d_refs[li - 1][...] = jax.lax.dot(
+                dh.astype(jnp.bfloat16),
+                ws[li - 1][...].T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        else:
+            d_refs[0][...] = dh
+            dg1 = dh.reshape(ns, m, pk * c1)
+            dcw_ref[...] = -jnp.sum(dg1, axis=0)
+            g = min(ns, _SLOT_BLOCK)
+            nblk = ns // g
+            s_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (ns, m, 1), 0).astype(jnp.float32)
+            livem = (s_iota < hits_lanes[None]).astype(jnp.float32)
+            extra = jnp.sum(dg1 * (1.0 - livem), axis=0)  # (m, pk·c1)
+            s_io = jax.lax.broadcasted_iota(
+                jnp.int32, (g, m, 1), 0).astype(jnp.float32)
+
+            for p in range(pk):
+                rank_p = ranks[p]
+                hits_p = hits_lanes[:, p * c1:p * c1 + 1]
+
+                def scat_block(s0, _rank=rank_p, _p=p):
+                    start = s0.astype(jnp.int32) * (g * m)
+                    dblk = d_refs[0][pl.ds(start, g * m), :]
+                    eff_pk = dblk[:, _p * c1:(_p + 1) * c1]
+                    live = ((s_io + s0.astype(jnp.float32) * g)
+                            < hits_p[None]).astype(jnp.float32)
+                    eff = (eff_pk.reshape(g, m, c1)
+                           * live).reshape(g * m, c1)
+                    sv = s_io[:, 0:1, 0:1] + (s0.astype(jnp.float32) * g
+                                              + 1.0)
+                    oh = (_rank[None] == sv).astype(
+                        jnp.bfloat16).reshape(g * m, -1)
+                    return _fold3(jax.lax.dot_general(
+                        oh, _bf16_cat3(eff),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32), c1)
+
+                extra_p = extra[:, p * c1:(p + 1) * c1]
+                oh1 = (rank_p == 1.0).astype(jnp.bfloat16)
+                dp1_ref[p] = _fold3(jax.lax.dot_general(
+                    oh1, _bf16_cat3(jnp.where(hits_p > 0.0, extra_p, 0.0)),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32), c1)
+                dp1_ref[p] += scat_block(jnp.int32(0))
+
+                def body(i, _, _scat=scat_block, _p=p):
+                    dp1_ref[_p] += _scat(i)
+                    return 0
+
+                jax.lax.fori_loop(1, nblk, body, 0)
+                ex0 = jnp.where(hits_p > 0.0, 0.0, extra_p)
+                ones = jnp.ones((1, m), jnp.bfloat16)
+                row0 = _fold3(jax.lax.dot(
+                    ones, _bf16_cat3(ex0),
+                    preferred_element_type=jnp.float32), c1)
+                dp1_ref[p, 0:1, :] += row0
+
+
+def _pick_pk(b: int, cs: tuple, n: int, m: int, ns: int) -> int:
+    """Largest stream-packing factor that fills the narrowest layer's
+    lane tile, divides the batch, and fits the backward in scoped VMEM."""
+    want = max(1, 128 // min(cs))
+    for pk in (8, 4, 2):
+        if pk > want or b % pk or pk > b:
+            continue
+        scratch = 2 * ns * m * pk * sum(cs) * 4           # xhat + d
+        aux = (pk * m * n * 4                             # ranks
+               + pk * n * 3 * cs[0] * 2                   # p1cat
+               + n * n * 2                                # ut
+               + min(ns, _SLOT_BLOCK) * m * n * 2         # one-hot temp
+               + 2 * min(ns, _SLOT_BLOCK) * m * pk * cs[0] * 4)
+        if scratch + aux <= 64 * 1024 * 1024:
+            return pk
+    return 1
+
+
 def _full():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -439,6 +711,118 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
                         zip(outs[1 + 2 * n_layers:], cs))
         return dp1, dcw, dws, dscales, dbiases
 
+    def _pack_params(pk, ws_rest, scales, biases):
+        eye = jnp.eye(pk, dtype=jnp.float32)
+        wbd = tuple(jnp.kron(eye, w) for w in ws_rest)
+        sc = tuple(jnp.tile(s.reshape(1, -1), (1, pk)) for s in scales)
+        bs = tuple(jnp.tile(bb.reshape(1, -1), (1, pk)) for bb in biases)
+        return wbd, sc, bs
+
+    def _pack_streams(pk, bg, xtb, sqxb, maskfb, cb, p1b, cwb):
+        parts = _bf16_parts(p1b.astype(jnp.float32))
+        p1catb = jnp.concatenate(parts, axis=2).reshape(bg, pk, n, 3 * c1)
+        return (xtb.reshape(bg, pk, 3, n), sqxb.reshape(bg, pk, 1, n),
+                maskfb.reshape(bg, pk, 1, n), cb.reshape(bg, pk, m, 3),
+                cwb.reshape(bg, pk, m, c1), p1catb,
+                p1b[:, 0:1, :].reshape(bg, pk, 1, c1))
+
+    def _run_fwd_pk(b, pk, xtb, sqxb, maskfb, cb, p1b, cwb, ws_rest,
+                    scales, biases):
+        """Stream-lane-packed dispatch: grid of B/pk steps, each fusing
+        pk streams into full-width lane tiles (see module comment)."""
+        bg = b // pk
+        ut = jnp.triu(jnp.ones((n, n), jnp.bfloat16))
+        xtp, sqxp, maskfp, cp, cwp, p1catp, p1row0p = _pack_streams(
+            pk, bg, xtb, sqxb, maskfb, cb, p1b, cwb)
+        wbd, sc, bs = _pack_params(pk, ws_rest, scales, biases)
+        kernel = functools.partial(_fwd_kernel_pk, r2=r2, ns=ns, cs=cs,
+                                   eps=eps, pk=pk)
+        out_shape = ([jax.ShapeDtypeStruct((bg, m, pk * c_last),
+                                           jnp.float32)]
+                     + [jax.ShapeDtypeStruct((bg, 1, pk * ci), jnp.float32)
+                        for ci in cs] * 2)
+        out_specs = ([_stream(m, pk * c_last)]
+                     + [_stream(1, pk * ci) for ci in cs] * 2)
+        in_specs = ([_stream(pk, 3, n), _stream(pk, 1, n),
+                     _stream(pk, 1, n), _full(), _stream(pk, m, 3),
+                     _stream(pk, m, c1), _stream(pk, n, 3 * c1),
+                     _stream(pk, 1, c1)]
+                    + [_full()] * (n_layers - 1 + 2 * n_layers))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(bg,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[pltpu.VMEM((ns * m, pk * ci), jnp.float32)
+                            for ci in cs],
+            compiler_params=params,
+            interpret=interpret,
+        )(xtp, sqxp, maskfp, ut, cp, cwp, p1catp, p1row0p, *wbd, *sc, *bs)
+        pooled = outs[0].reshape(bg, m, pk, c_last).transpose(
+            0, 2, 1, 3).reshape(b, m, c_last)
+        mus = tuple(x.reshape(b, ci)
+                    for x, ci in zip(outs[1:1 + n_layers], cs))
+        vrs = tuple(x.reshape(b, ci)
+                    for x, ci in zip(outs[1 + n_layers:], cs))
+        return pooled, mus, vrs
+
+    def _run_bwd_pk(b, pk, xtb, sqxb, maskfb, cb, p1b, cwb, ws_rest,
+                    scales, biases, dpooledb):
+        bg = b // pk
+        ut = jnp.triu(jnp.ones((n, n), jnp.bfloat16))
+        xtp, sqxp, maskfp, cp, cwp, p1catp, p1row0p = _pack_streams(
+            pk, bg, xtb, sqxb, maskfb, cb, p1b, cwb)
+        wbd, sc, bs = _pack_params(pk, ws_rest, scales, biases)
+        dpooledp = dpooledb.reshape(bg, pk, m, c_last).transpose(
+            0, 2, 1, 3).reshape(bg, m, pk * c_last)
+        kernel = functools.partial(_bwd_kernel_pk, r2=r2, ns=ns, cs=cs,
+                                   eps=eps, pk=pk)
+        out_shape = (
+            [jax.ShapeDtypeStruct((bg, pk, n, c1), jnp.float32),   # dp1
+             jax.ShapeDtypeStruct((bg, m, pk * c1), jnp.float32)]  # dcw
+            + [jax.ShapeDtypeStruct(
+                (bg, pk * w.shape[0], pk * w.shape[1]), jnp.float32)
+               for w in ws_rest]
+            + [jax.ShapeDtypeStruct((bg, 1, pk * ci), jnp.float32)
+               for ci in cs] * 2)
+        out_specs = ([_stream(pk, n, c1), _stream(m, pk * c1)]
+                     + [_stream(pk * w.shape[0], pk * w.shape[1])
+                        for w in ws_rest]
+                     + [_stream(1, pk * ci) for ci in cs] * 2)
+        in_specs = ([_stream(pk, 3, n), _stream(pk, 1, n),
+                     _stream(pk, 1, n), _full(), _stream(pk, m, 3),
+                     _stream(pk, m, c1), _stream(pk, n, 3 * c1),
+                     _stream(pk, 1, c1)]
+                    + [_full()] * (n_layers - 1 + 2 * n_layers)
+                    + [_stream(m, pk * c_last)])
+        outs = pl.pallas_call(
+            kernel,
+            grid=(bg,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[pltpu.VMEM((ns * m, pk * ci), jnp.float32)
+                            for ci in cs] * 2,
+            compiler_params=params,
+            interpret=interpret,
+        )(xtp, sqxp, maskfp, ut, cp, cwp, p1catp, p1row0p, *wbd, *sc,
+          *bs, dpooledp)
+        dp1 = outs[0].reshape(b, n, c1)
+        dcw = outs[1].reshape(bg, m, pk, c1).transpose(
+            0, 2, 1, 3).reshape(b, m, c1)
+        dws = tuple(
+            jnp.stack([x[:, p * w.shape[0]:(p + 1) * w.shape[0],
+                         p * w.shape[1]:(p + 1) * w.shape[1]]
+                       for p in range(pk)], axis=1).reshape(
+                (b,) + w.shape)
+            for x, w in zip(outs[2:2 + n_layers - 1], ws_rest))
+        dscales = tuple(x.reshape(b, ci) for x, ci in
+                        zip(outs[1 + n_layers:1 + 2 * n_layers], cs))
+        dbiases = tuple(x.reshape(b, ci) for x, ci in
+                        zip(outs[1 + 2 * n_layers:], cs))
+        return dp1, dcw, dws, dscales, dbiases
+
     def _bcast(x, batched, b):
         return x if batched else jnp.broadcast_to(x[None], (b,) + x.shape)
 
@@ -460,7 +844,11 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
         b = axis_size
         args = [_bcast(x, bt, b) for x, bt in
                 zip((xt, sqx, maskf, c, p1, cw), in_batched[:6])]
-        outs = _run_fwd(b, *args, ws_rest, scales, biases)
+        pk = _pick_pk(b, cs, n, m, ns)
+        if pk > 1:
+            outs = _run_fwd_pk(b, pk, *args, ws_rest, scales, biases)
+        else:
+            outs = _run_fwd(b, *args, ws_rest, scales, biases)
         L = len(cs)
         return outs, (True, (True,) * L, (True,) * L)
 
@@ -485,7 +873,12 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
         args = [_bcast(x, bt, b) for x, bt in
                 zip((xt, sqx, maskf, c, p1, cw), in_batched[:6])]
         dpooledb = _bcast(dpooled, in_batched[9], b)
-        outs = _run_bwd(b, *args, ws_rest, scales, biases, dpooledb)
+        pk = _pick_pk(b, cs, n, m, ns)
+        if pk > 1:
+            outs = _run_bwd_pk(b, pk, *args, ws_rest, scales, biases,
+                               dpooledb)
+        else:
+            outs = _run_bwd(b, *args, ws_rest, scales, biases, dpooledb)
         L = len(cs)
         return outs, (True, True, (True,) * (L - 1), (True,) * L,
                       (True,) * L)

@@ -145,6 +145,74 @@ def test_multilayer_bound_vs_unfused():
         assert cos > 0.99, cos
 
 
+@pytest.mark.parametrize("b,mlp,want_pk", [
+    (8, (16, 16, 32), 8),   # sa1 class: narrowest layer fills at pk=8
+    (4, (64, 64), 2),       # sa3 class: pk=2 fills the 64-ch tile
+    (6, (32, 64), 2),       # b with no 4/8 divisor → falls to 2
+])
+def test_stream_packed_equals_per_stream(b, mlp, want_pk):
+    """The lane-packed batched kernels (pk>1) vs per-stream pk=1:
+    gathers/selection are per-stream either way (layer-0 stats measured
+    exactly equal), and the block-diagonal dots add exact zeros — but a
+    wider K regroups the nonzero products into different partial
+    accumulators, so layers ≥1 agree to reassociation ulps (measured
+    ≤ 2e-9 in stats, ≤ 1.5e-6 in pooled), not bitwise."""
+    from ratrack_tpu.ops.pallas_sa_train import _pick_pk
+
+    n = 128
+    assert _pick_pk(b, mlp, n, n, 8) == want_pk
+    rng = np.random.RandomState(7)
+    xyzb = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+    featsb = jnp.asarray(rng.randn(b, n, 2).astype(np.float32))
+    maskb = jnp.asarray(rng.rand(b, n) < 0.8)
+    _, _, _, ws, scales, biases = _real_setup(n=n, mlp=mlp)
+    gouts = jnp.asarray(rng.randn(b, n, mlp[-1]).astype(np.float32))
+
+    def one(x, ft, mk):
+        return fused_sa_scale_train(x, x, ft, mk, ws, scales, biases,
+                                    radius=2.0, nsample=8)
+
+    pb, mb, vb = jax.vmap(one)(xyzb, featsb, maskb)       # packed
+    for i in range(b):
+        p1, m1, v1 = one(xyzb[i], featsb[i], maskb[i])    # pk=1
+        np.testing.assert_allclose(np.asarray(pb[i]), np.asarray(p1),
+                                   rtol=1e-5, atol=1e-5)
+        # layer-0 stats ride the bit-exact gather: exact
+        np.testing.assert_array_equal(np.asarray(mb[0][i]),
+                                      np.asarray(m1[0]))
+        for a, r in zip(mb + vb, m1 + v1):
+            np.testing.assert_allclose(np.asarray(a[i]), np.asarray(r),
+                                       rtol=1e-5, atol=1e-6)
+
+    # gradients: packed-vmap loss vs the sum of per-stream pk=1 losses
+    def loss_b(ws_, s_, b_, xb, fb):
+        def f(x, ft, mk, g):
+            p, _, _ = fused_sa_scale_train(x, x, ft, mk, ws_, s_, b_,
+                                           radius=2.0, nsample=8)
+            return jnp.vdot(p, g)
+        return jnp.sum(jax.vmap(f)(xb, fb, maskb, gouts))
+
+    gb = jax.grad(loss_b, argnums=(0, 1, 2, 3, 4))(
+        ws, scales, biases, xyzb, featsb)
+    g1 = jax.grad(
+        lambda ws_, s_, b_, xb, fb: sum(
+            jnp.vdot(fused_sa_scale_train(
+                xb[i], xb[i], fb[i], maskb[i], ws_, s_, b_,
+                radius=2.0, nsample=8)[0], gouts[i])
+            for i in range(b)),
+        argnums=(0, 1, 2, 3, 4))(ws, scales, biases, xyzb, featsb)
+    for a, r in zip(jax.tree_util.tree_leaves(gb),
+                    jax.tree_util.tree_leaves(g1)):
+        # reassociation ulps amplify through the BN-backward cancelling
+        # sums (measured worst single element ~9e-4 relative)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-2, atol=1e-4)
+        na, nr = np.asarray(a).ravel(), np.asarray(r).ravel()
+        cos = float(np.dot(na, nr) / (np.linalg.norm(na)
+                                      * np.linalg.norm(nr) + 1e-12))
+        assert cos > 0.99999, cos
+
+
 def test_module_integration_and_running_stats():
     from ratrack_tpu.ops import pallas_sa
     from ratrack_tpu.models.pnhead import SetAbstractionMSG

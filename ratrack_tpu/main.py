@@ -407,7 +407,24 @@ def _run(cfg, log, models_dir, exp_dir):
         log.print("restored checkpoint: last")
     elif cfg.eval or cfg.load_checkpoint:
         name = cfg.model_path or "best"
-        if ckpt.latest_exists(models_dir, name):
+        if name.endswith((".t7", ".pt")) and os.path.isfile(name):
+            # the reference's own eval flow points model_path at a torch
+            # .t7 file (/root/reference/src/models/model.py:28-37,
+            # configs_eval.yaml); accept those directly through the
+            # weight converter so its published checkpoint runs here
+            from .utils.convert import load_reference_checkpoint
+            variables, leftover = load_reference_checkpoint(name)
+            same = (jax.tree_util.tree_structure(ts.params)
+                    == jax.tree_util.tree_structure(variables["params"]))
+            if same:
+                ts = ts._replace(params=variables["params"],
+                                 batch_stats=variables["batch_stats"])
+                log.print(f"converted reference checkpoint: {name} "
+                          f"({len(leftover)} dead-module keys ignored)")
+            else:
+                log.print(f"WARNING: reference checkpoint '{name}' does "
+                          "not match the model tree, using fresh init")
+        elif ckpt.latest_exists(models_dir, name):
             ts = ckpt.restore_train_state(models_dir, name, ts)
             log.print(f"restored checkpoint: {name}")
         else:

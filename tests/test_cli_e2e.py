@@ -69,6 +69,23 @@ def test_vod_train_then_eval_cli(tmp_path):
     assert "SAMOTA" in log
     assert "FINISH" in log
 
+    # reference-.t7 checkpoint loading: the reference's eval flow points
+    # model_path at a torch file (src/models/model.py:28-37); the CLI
+    # must accept one through the weight converter
+    import torch
+    from test_convert import _TorchTrack4D
+    t7_path = str(tmp_path / "model.last.t7")
+    torch.save(_TorchTrack4D().state_dict(), t7_path)
+    t7_cfg = dict(eval_cfg, model_path=t7_path,
+                  results_dir=str(tmp_path / "results_t7"))
+    t7_yaml = str(tmp_path / "eval_t7.yaml")
+    yaml.safe_dump(t7_cfg, open(t7_yaml, "w"))
+    main(["--config", t7_yaml, "--cpu"])
+    log = open(os.path.join(common["checkpoints_dir"], "e2e",
+                            "run.log")).read()
+    assert "converted reference checkpoint" in log
+    assert os.path.isdir(os.path.join(t7_cfg["results_dir"], "delft_10"))
+
     # vis on the SCAN path: vis_dir no longer forces the per-frame path
     # (the scan outputs carry labels/ids/warp; BEV renders post-hoc)
     vis_cfg = dict(eval_cfg, scan_frames=4,

@@ -25,7 +25,7 @@ from ..ops import (furthest_point_sample, identity_sample,
                    three_interpolate_weights)
 from ..ops import pallas_sa
 from ..ops.pallas_sa import TILE_M, fold_bn_params, fused_sa_scale
-from ..ops.pallas_sa_train import fused_sa_scale_train
+from ..ops.pallas_sa_train import fused_sa_scale_train, fused_sa_pair_train
 from ..ops.pallas_fp import fused_three_interpolate
 from .layers import PointwiseMLP
 
@@ -105,23 +105,50 @@ class SetAbstractionMSG(nn.Module):
                    and n % 128 == 0 and self.npoint % 128 == 0
                    and n <= 1024 and self.npoint <= 1024)
         if fused_t:
-            outs = []
-            for s, (r, ns_s, mlp) in enumerate(
-                    zip(self.radii, self.nsamples, self.mlps)):
+            modules, wss, scss, bsss = [], [], [], []
+            for s, mlp in enumerate(self.mlps):
                 module = PointwiseMLP(mlp, bn=True, dtype=self.dtype,
                                       name=f"mlp_{s}")
                 _ = module(jnp.zeros((1, 1, c_in), self.dtype),
                            train=False)
                 p = module.variables["params"]
-                ws = [p[f"dense_{i}"]["kernel"] for i in range(len(mlp))]
-                scs = [p[f"bn_{i}"]["scale"] for i in range(len(mlp))]
-                bss = [p[f"bn_{i}"]["bias"] for i in range(len(mlp))]
-                pooled, mus, vrs = fused_sa_scale_train(
-                    xyz, new_xyz, features, mask, ws, scs, bss,
-                    radius=r, nsample=ns_s)
-                module(jnp.zeros((1, 1, c_in), self.dtype), train=True,
-                       override_stats=(mus, vrs,
-                                       float(self.npoint * ns_s)))
+                modules.append(module)
+                wss.append([p[f"dense_{i}"]["kernel"]
+                            for i in range(len(mlp))])
+                scss.append([p[f"bn_{i}"]["scale"]
+                             for i in range(len(mlp))])
+                bsss.append([p[f"bn_{i}"]["bias"]
+                             for i in range(len(mlp))])
+            # both scales of the level in ONE custom-VJP kernel (shared
+            # selection + dispatch) whenever the pair is structurally
+            # mergeable — same MLP depth, same layer-0 width (always
+            # true here: same input channels); else per-scale kernels
+            pair = (len(self.radii) == 2
+                    and len(self.mlps[0]) == len(self.mlps[1]))
+            if pair:
+                (pa, mus_a, vrs_a), (pb, mus_b, vrs_b) = \
+                    fused_sa_pair_train(
+                        xyz, new_xyz, features, mask,
+                        wss[0], scss[0], bsss[0],
+                        wss[1], scss[1], bsss[1],
+                        radius_a=self.radii[0],
+                        nsample_a=self.nsamples[0],
+                        radius_b=self.radii[1],
+                        nsample_b=self.nsamples[1])
+                results = [(pa, mus_a, vrs_a), (pb, mus_b, vrs_b)]
+            else:
+                results = [fused_sa_scale_train(
+                    xyz, new_xyz, features, mask, wss[s], scss[s],
+                    bsss[s], radius=r, nsample=ns_s)
+                    for s, (r, ns_s) in enumerate(
+                        zip(self.radii, self.nsamples))]
+            outs = []
+            for s, (pooled, mus, vrs) in enumerate(results):
+                modules[s](jnp.zeros((1, 1, c_in), self.dtype),
+                           train=True,
+                           override_stats=(mus, vrs,
+                                           float(self.npoint
+                                                 * self.nsamples[s])))
                 outs.append(pooled.astype(self.dtype))
             return new_xyz, jnp.concatenate(outs, axis=-1)
 

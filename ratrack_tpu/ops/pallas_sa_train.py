@@ -249,12 +249,13 @@ def _bwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
         dz = d_refs[li][...] * (z > 0.0).astype(jnp.float32)
         dscale_refs[li][...] = jnp.sum(dz * xhat, axis=0, keepdims=True)
         dbias_refs[li][...] = jnp.sum(dz, axis=0, keepdims=True)
-        dxhat = dz * scales[li][...]
-        # train-BN backward (batch statistics participate):
-        dh = invs[li] * (dxhat
-                         - jnp.sum(dxhat, axis=0, keepdims=True) / count
-                         - xhat * (jnp.sum(dxhat * xhat, axis=0,
-                                           keepdims=True) / count))
+        # train-BN backward (batch statistics participate). With
+        # dxhat = dz·scale, Σdxhat = scale·dbias and Σ(dxhat·xhat) =
+        # scale·dscale — reusing the parameter-gradient reductions saves
+        # two full passes over the (ns·M, C) tensor per layer:
+        dh = (invs[li] * scales[li][...]) * (
+            dz - dbias_refs[li][...] / count
+            - xhat * (dscale_refs[li][...] / count))
         if li > 0:
             a_lm1 = jnp.maximum(
                 xhat_refs[li - 1][...] * scales[li - 1][...]
@@ -507,11 +508,11 @@ def _bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
         dz = d_refs[li][...] * (z > 0.0).astype(jnp.float32)
         dscale_refs[li][...] = jnp.sum(dz * xhat, axis=0, keepdims=True)
         dbias_refs[li][...] = jnp.sum(dz, axis=0, keepdims=True)
-        dxhat = dz * scales[li][...]
-        dh = invs[li] * (dxhat
-                         - jnp.sum(dxhat, axis=0, keepdims=True) / count
-                         - xhat * (jnp.sum(dxhat * xhat, axis=0,
-                                           keepdims=True) / count))
+        # Σdxhat = scale·dbias, Σ(dxhat·xhat) = scale·dscale (see
+        # _bwd_kernel): two fewer full reduction passes per layer
+        dh = (invs[li] * scales[li][...]) * (
+            dz - dbias_refs[li][...] / count
+            - xhat * (dscale_refs[li][...] / count))
         if li > 0:
             a_lm1 = jnp.maximum(
                 xhat_refs[li - 1][...] * scales[li - 1][...]
@@ -905,6 +906,11 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
                 dp1, dcw, dws, dscales, dbiases)
 
     core.defvjp(core_fwd, core_bwd)
+    # exposed for the radius-pair core's pk=1 fallback (calling the
+    # custom_vmap'd primitives directly composes with an outer vmap and
+    # keeps per-scale pk selection)
+    core._fwd_call = fwd_call
+    core._bwd_call = bwd_call
     return core
 
 
@@ -954,6 +960,651 @@ def fused_sa_scale_train(xyz, centers, features, mask, ws, scales,
                 tuple(w.astype(jnp.float32) for w in ws[1:]),
                 tuple(s.astype(jnp.float32) for s in scales),
                 tuple(b.astype(jnp.float32) for b in biases))
+
+
+# ---------------------------------------------------------------------------
+# Radius-pair kernels: both scales of one SA-MSG level in ONE program.
+#
+# Every SetAbstractionMSG level runs two ball radii over the SAME centers
+# and cloud (reference pointnet2_modules.py:19-94). As separate kernels
+# each pays its own launch (~25-50 µs measured per custom-call on v5e)
+# plus its own (M, N) distance matrix and shared-operand DMA. The pair
+# kernel shares all of it — mirroring the eval path's _sa_pair_kernel
+# (ops/pallas_sa.py), which measured the same win in round 2:
+#   * selection: d2 computed ONCE per stream; per-scale hit masks/ranks
+#     derive from it (bit-identical expressions to _selection);
+#   * the two scales then run SEQUENTIALLY through SHARED scratch refs
+#     sized for the larger scale — together the sa3 pair at pk=2 would
+#     need ~100 MB of per-scale scratch, over budget, while reuse fits.
+#     Row slices are per-scale (ns_s·M of ns_max·M); lane slices appear
+#     only where the scales' layer widths differ and the wrapper gates
+#     pk so every such slice is a 128-lane multiple (Mosaic alignment);
+#     layer-0 widths are structurally equal (same input channels).
+#   * pk=1 / indivisible batches fall back to the single-scale cores
+#     (their own custom_vmap rules re-pick per-scale pk).
+# Numerics: identical op sequence per scale to the pk kernels above →
+# the same class (pk>1 reassociation ulps vs pk=1; exact gathers).
+# ---------------------------------------------------------------------------
+
+
+def _pair_ranks(xt_ref, sqx_ref, maskf_ref, ut, c_ref, r2s, pk):
+    """Shared selection: ONE d2 per stream, a (rank, hits) per scale.
+    Expressions match _selection bitwise (same order of ops)."""
+    ranks = [[] for _ in r2s]
+    hits = [[] for _ in r2s]
+    for p in range(pk):
+        c = c_ref[p]
+        xt = xt_ref[p]
+        sqc = jnp.sum(c * c, axis=1, keepdims=True)
+        prod = (c[:, 0:1] * xt[0:1, :] + c[:, 1:2] * xt[1:2, :]
+                + c[:, 2:3] * xt[2:3, :])
+        d2 = jnp.maximum(sqc + sqx_ref[p] - 2.0 * prod, 0.0)
+        maskf = maskf_ref[p]
+        for si, r2 in enumerate(r2s):
+            hitf = jnp.logical_and(d2 < r2,
+                                   maskf > 0.0).astype(jnp.float32)
+            rank = jax.lax.dot(hitf.astype(jnp.bfloat16), ut,
+                               preferred_element_type=jnp.float32)
+            ranks[si].append(jnp.where(hitf > 0.0, rank, 0.0))
+            hits[si].append(jnp.sum(hitf, axis=1, keepdims=True))
+    return ranks, hits
+
+
+def _packed_gather(ranks, hits, p1cat_ref, cw_ref, p1row0_ref, act0_ref,
+                   *, ns, c1, m, pk):
+    """Packed g1 materialization for ONE scale from precomputed
+    selection (the gather half of _packed_selection_gather); writes rows
+    [0 : ns·m) of act0_ref (whose lane width is exactly pk·c1).
+    Returns hits_lanes (m, pk·c1)."""
+    hits_lanes = jnp.concatenate(
+        [hits[p] * jnp.ones((m, c1), jnp.float32) for p in range(pk)],
+        axis=1)
+    cw_pk = jnp.concatenate([cw_ref[p] for p in range(pk)], axis=1)
+    row0_pk = jnp.concatenate([p1row0_ref[p] for p in range(pk)], axis=1)
+    g = min(ns, _SLOT_BLOCK)
+    nblk = ns // g
+    s_io = jax.lax.broadcasted_iota(jnp.int32, (g, m, 1),
+                                    0).astype(jnp.float32)
+
+    def block(s0):
+        sv = s_io[:, 0:1, 0:1] + (s0 + 1.0)
+        pieces = []
+        for p in range(pk):
+            oh = (ranks[p][None] == sv).astype(jnp.bfloat16).reshape(
+                g * m, -1)
+            pieces.append(_fold3(jax.lax.dot(
+                oh, p1cat_ref[p], preferred_element_type=jnp.float32),
+                c1))
+        return jnp.concatenate(pieces, axis=1)
+
+    sb0 = block(0.0)
+    first = jnp.where(hits_lanes > 0.0, sb0[0:m], row0_pk)
+
+    def livefix(sb, s0):
+        live = (s_io + s0) < hits_lanes[None]
+        out = jnp.where(live, sb.reshape(g, m, pk * c1),
+                        first[None]) - cw_pk[None]
+        return out.reshape(g * m, pk * c1)
+
+    act0_ref[0:g * m, :] = livefix(sb0, 0.0)
+
+    def body(i, _):
+        s0 = i.astype(jnp.float32) * g
+        act0_ref[pl.ds(i * (g * m), g * m), :] = livefix(block(s0), s0)
+        return 0
+
+    jax.lax.fori_loop(1, nblk, body, 0)
+    return hits_lanes
+
+
+def _pair_fwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
+                        r2s, nss, css, eps: float, pk: int):
+    """Packed pair forward: shared selection, scales sequential through
+    shared scratch."""
+    L = len(css[0])
+    per_in = 3 * L + 2               # cw, p1cat, row0, ws(L-1), sc(L), bi(L)
+    ins = [refs[s * per_in:(s + 1) * per_in] for s in range(2)]
+    k = 2 * per_in
+    per_out = 1 + 2 * L
+    outs = [refs[k + s * per_out:k + (s + 1) * per_out] for s in range(2)]
+    act_refs = refs[k + 2 * per_out:]
+    m = c_ref.shape[1]
+
+    ranks, hits = _pair_ranks(xt_ref, sqx_ref, maskf_ref, ut_ref[...],
+                              c_ref, r2s, pk)
+    for si in range(2):
+        cw_ref, p1cat_ref, row0_ref = ins[si][0:3]
+        ws = ins[si][3:3 + L - 1]
+        scales = ins[si][3 + L - 1:3 + 2 * L - 1]
+        biases = ins[si][3 + 2 * L - 1:3 + 3 * L - 1]
+        pooled_ref = outs[si][0]
+        mu_refs = outs[si][1:1 + L]
+        var_refs = outs[si][1 + L:]
+        ns, cs = nss[si], css[si]
+        rows = ns * m
+        count = jnp.float32(rows)
+        _packed_gather(ranks[si], hits[si], p1cat_ref, cw_ref, row0_ref,
+                       act_refs[0], ns=ns, c1=cs[0], m=m, pk=pk)
+        for li in range(L):
+            w = pk * cs[li]
+            if li > 0:
+                a_prev = act_refs[li - 1][0:rows, 0:pk * cs[li - 1]]
+                act_refs[li][0:rows, 0:w] = jax.lax.dot(
+                    a_prev.astype(jnp.bfloat16),
+                    ws[li - 1][...].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            h = act_refs[li][0:rows, 0:w]
+            mu, var = _batch_stats(h, count)
+            mu_refs[li][...] = mu
+            var_refs[li][...] = var
+            inv = jax.lax.rsqrt(var + eps) * scales[li][...]
+            act_refs[li][0:rows, 0:w] = jnp.maximum(
+                (h - mu) * inv + biases[li][...], 0.0)
+        c_last = cs[-1]
+        a_last = act_refs[L - 1][0:rows, 0:pk * c_last].reshape(
+            ns, m, pk * c_last)
+        pooled_ref[...] = jnp.max(a_last, axis=0)
+
+
+def _pair_bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
+                        r2s, nss, css, eps: float, pk: int):
+    """Packed pair backward: shared selection, per-scale recompute +
+    backprop + scatter through shared scratch."""
+    L = len(css[0])
+    per_in = 3 * L + 2
+    ins = [refs[s * per_in:(s + 1) * per_in] for s in range(2)]
+    k = 2 * per_in
+    dpooled_refs = refs[k:k + 2]
+    k += 2
+    per_out = 3 * L + 1              # dp1, dcw, dw(L-1), dscale(L), dbias(L)
+    outs = [refs[k + s * per_out:k + (s + 1) * per_out] for s in range(2)]
+    scr = refs[k + 2 * per_out:]
+    xhat_refs = scr[:L]
+    d_refs = scr[L:]
+    m = c_ref.shape[1]
+
+    ranks, hits = _pair_ranks(xt_ref, sqx_ref, maskf_ref, ut_ref[...],
+                              c_ref, r2s, pk)
+    for si in range(2):
+        cw_ref, p1cat_ref, row0_ref = ins[si][0:3]
+        ws = ins[si][3:3 + L - 1]
+        scales = ins[si][3 + L - 1:3 + 2 * L - 1]
+        biases = ins[si][3 + 2 * L - 1:3 + 3 * L - 1]
+        dp1_ref = outs[si][0]
+        dcw_ref = outs[si][1]
+        dw_refs = outs[si][2:2 + L - 1]
+        dscale_refs = outs[si][1 + L:1 + 2 * L]
+        dbias_refs = outs[si][1 + 2 * L:1 + 3 * L]
+        ns, cs = nss[si], css[si]
+        c1 = cs[0]
+        rows = ns * m
+        count = jnp.float32(rows)
+
+        hits_lanes = _packed_gather(
+            ranks[si], hits[si], p1cat_ref, cw_ref, row0_ref,
+            xhat_refs[0], ns=ns, c1=c1, m=m, pk=pk)
+
+        mus, invs = [], []
+        a_prev = None
+        for li in range(L):
+            w = pk * cs[li]
+            if li > 0:
+                xhat_refs[li][0:rows, 0:w] = jax.lax.dot(
+                    a_prev.astype(jnp.bfloat16),
+                    ws[li - 1][...].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            h = xhat_refs[li][0:rows, 0:w]
+            mu, var = _batch_stats(h, count)
+            inv = jax.lax.rsqrt(var + eps)
+            mus.append(mu)
+            invs.append(inv)
+            xhat_refs[li][0:rows, 0:w] = (h - mu) * inv
+            a_prev = jnp.maximum(
+                xhat_refs[li][0:rows, 0:w] * scales[li][...]
+                + biases[li][...], 0.0)
+
+        c_last = cs[-1]
+        a3 = a_prev.reshape(ns, m, pk * c_last)
+        pooled = jnp.max(a3, axis=0)
+        ties = (a3 == pooled[None]).astype(jnp.float32)
+        cnt = jnp.sum(ties, axis=0)
+        dpool = dpooled_refs[si][...] / cnt
+        d_refs[L - 1][0:rows, 0:pk * c_last] = (
+            ties * dpool[None]).reshape(rows, pk * c_last)
+
+        for li in range(L - 1, -1, -1):
+            w = pk * cs[li]
+            xhat = xhat_refs[li][0:rows, 0:w]
+            z = xhat * scales[li][...] + biases[li][...]
+            dz = d_refs[li][0:rows, 0:w] * (z > 0.0).astype(jnp.float32)
+            dscale_refs[li][...] = jnp.sum(dz * xhat, axis=0,
+                                           keepdims=True)
+            dbias_refs[li][...] = jnp.sum(dz, axis=0, keepdims=True)
+            # Σdxhat = scale·dbias, Σ(dxhat·xhat) = scale·dscale (see
+            # _bwd_kernel): two fewer full reduction passes per layer
+            dh = (invs[li] * scales[li][...]) * (
+                dz - dbias_refs[li][...] / count
+                - xhat * (dscale_refs[li][...] / count))
+            if li > 0:
+                w_prev = pk * cs[li - 1]
+                a_lm1 = jnp.maximum(
+                    xhat_refs[li - 1][0:rows, 0:w_prev]
+                    * scales[li - 1][...] + biases[li - 1][...], 0.0)
+                dw_refs[li - 1][...] = jax.lax.dot_general(
+                    a_lm1.astype(jnp.bfloat16), dh.astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                d_refs[li - 1][0:rows, 0:w_prev] = jax.lax.dot(
+                    dh.astype(jnp.bfloat16),
+                    ws[li - 1][...].T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            else:
+                d_refs[0][0:rows, :] = dh
+                dg1 = dh.reshape(ns, m, pk * c1)
+                dcw_ref[...] = -jnp.sum(dg1, axis=0)
+                g = min(ns, _SLOT_BLOCK)
+                nblk = ns // g
+                s_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (ns, m, 1), 0).astype(jnp.float32)
+                livem = (s_iota < hits_lanes[None]).astype(jnp.float32)
+                extra = jnp.sum(dg1 * (1.0 - livem), axis=0)
+                s_io = jax.lax.broadcasted_iota(
+                    jnp.int32, (g, m, 1), 0).astype(jnp.float32)
+
+                for p in range(pk):
+                    rank_p = ranks[si][p]
+                    hits_p = hits_lanes[:, p * c1:p * c1 + 1]
+
+                    def scat_block(s0, _rank=rank_p, _p=p,
+                                   _hits=hits_p):
+                        start = s0.astype(jnp.int32) * (g * m)
+                        dblk = d_refs[0][pl.ds(start, g * m), :]
+                        eff_pk = dblk[:, _p * c1:(_p + 1) * c1]
+                        live = ((s_io + s0.astype(jnp.float32) * g)
+                                < _hits[None]).astype(jnp.float32)
+                        eff = (eff_pk.reshape(g, m, c1)
+                               * live).reshape(g * m, c1)
+                        sv = s_io[:, 0:1, 0:1] + (
+                            s0.astype(jnp.float32) * g + 1.0)
+                        oh = (_rank[None] == sv).astype(
+                            jnp.bfloat16).reshape(g * m, -1)
+                        return _fold3(jax.lax.dot_general(
+                            oh, _bf16_cat3(eff),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32), c1)
+
+                    extra_p = extra[:, p * c1:(p + 1) * c1]
+                    oh1 = (rank_p == 1.0).astype(jnp.bfloat16)
+                    dp1_ref[p] = _fold3(jax.lax.dot_general(
+                        oh1,
+                        _bf16_cat3(jnp.where(hits_p > 0.0, extra_p, 0.0)),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32), c1)
+                    dp1_ref[p] += scat_block(jnp.int32(0))
+
+                    def body(i, _, _scat=scat_block, _p=p):
+                        dp1_ref[_p] += _scat(i)
+                        return 0
+
+                    jax.lax.fori_loop(1, nblk, body, 0)
+                    ex0 = jnp.where(hits_p > 0.0, 0.0, extra_p)
+                    ones = jnp.ones((1, m), jnp.bfloat16)
+                    row0 = _fold3(jax.lax.dot(
+                        ones, _bf16_cat3(ex0),
+                        preferred_element_type=jnp.float32), c1)
+                    dp1_ref[p, 0:1, :] += row0
+
+
+def _pick_pk_pair(b: int, cs_a: tuple, cs_b: tuple, n: int, m: int,
+                  ns_a: int, ns_b: int) -> int:
+    """Packing factor for the pair kernel: must exactly fill the
+    narrowest layer's lane tile (so every differing-width lane slice is
+    a 128-multiple), divide the batch, and fit shared scratch + the
+    doubled selection state in scoped VMEM."""
+    want = max(1, 128 // min(min(cs_a), min(cs_b)))
+    if want < 2 or b % want or want > b:
+        return 1
+    pk = want
+    if any(ca != cb and (pk * min(ca, cb)) % 128
+           for ca, cb in zip(cs_a, cs_b)):
+        return 1
+    rows = max(ns_a, ns_b) * m
+    scratch = 2 * rows * pk * sum(max(ca, cb)
+                                  for ca, cb in zip(cs_a, cs_b)) * 4
+    aux = (2 * pk * m * n * 4                       # two ranks per stream
+           + pk * n * n * 4                         # d2 temporaries
+           + 2 * pk * n * 3 * cs_a[0] * 2           # both scales' p1cat
+           + n * n * 2
+           + min(max(ns_a, ns_b), _SLOT_BLOCK) * m * n * 2
+           + 2 * min(max(ns_a, ns_b), _SLOT_BLOCK) * m * pk
+           * cs_a[0] * 4)
+    return pk if scratch + aux <= 64 * 1024 * 1024 else 1
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
+                    nsb: int, csb: tuple, n: int, m: int, eps: float,
+                    interpret: bool):
+    """Custom-VJP core running BOTH scales of one SA-MSG level in one
+    pallas dispatch (see the section comment above). Signature:
+
+    core(xt, sqx, maskf, c, p1a, cwa, p1b, cwb,
+         ws_a_rest, scales_a, biases_a, ws_b_rest, scales_b, biases_b)
+      → (pooled_a, mus_a, vars_a, pooled_b, mus_b, vars_b)
+    """
+    core_a = _make_core(r2a, nsa, tuple(csa), n, m, eps, interpret)
+    core_b = _make_core(r2b, nsb, tuple(csb), n, m, eps, interpret)
+    assert len(csa) == len(csb) and csa[0] == csb[0]
+    L = len(csa)
+    c1 = csa[0]
+    css = (tuple(csa), tuple(csb))
+    nss = (nsa, nsb)
+    r2s = (r2a, r2b)
+    rows_max = max(nsa, nsb) * m
+    cmax = tuple(max(a, b) for a, b in zip(csa, csb))
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT,
+        dimension_semantics=("arbitrary",))
+
+    def _stream(*shape):
+        nd = len(shape)
+        return pl.BlockSpec((None,) + shape,
+                            lambda i: (i,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def _pack_params(pk, ws_rest, scales, biases):
+        eye = jnp.eye(pk, dtype=jnp.float32)
+        wbd = tuple(jnp.kron(eye, w) for w in ws_rest)
+        sc = tuple(jnp.tile(s.reshape(1, -1), (1, pk)) for s in scales)
+        bs = tuple(jnp.tile(bb.reshape(1, -1), (1, pk)) for bb in biases)
+        return wbd, sc, bs
+
+    def _shared_streams(pk, bg, xtb, sqxb, maskfb, cb):
+        return (xtb.reshape(bg, pk, 3, n), sqxb.reshape(bg, pk, 1, n),
+                maskfb.reshape(bg, pk, 1, n), cb.reshape(bg, pk, m, 3))
+
+    def _scale_streams(pk, bg, p1b_, cwb_):
+        parts = _bf16_parts(p1b_.astype(jnp.float32))
+        p1catp = jnp.concatenate(parts, axis=2).reshape(bg, pk, n, 3 * c1)
+        return (cwb_.reshape(bg, pk, m, c1), p1catp,
+                p1b_[:, 0:1, :].reshape(bg, pk, 1, c1))
+
+    def _scale_in_specs(cs):
+        return ([_stream(pk_spec, m, c1) for pk_spec in (None,)]  # placeholder
+                )
+
+    def _run_pair_fwd_pk(b, pk, xtb, sqxb, maskfb, cb, p1a, cwa, p1b,
+                         cwb, wsa, sca, bia, wsb, scb, bib):
+        bg = b // pk
+        ut = jnp.triu(jnp.ones((n, n), jnp.bfloat16))
+        shared = _shared_streams(pk, bg, xtb, sqxb, maskfb, cb)
+        sc_a = _scale_streams(pk, bg, p1a, cwa)
+        sc_b = _scale_streams(pk, bg, p1b, cwb)
+        wbda, scpa, bspa = _pack_params(pk, wsa, sca, bia)
+        wbdb, scpb, bspb = _pack_params(pk, wsb, scb, bib)
+        kernel = functools.partial(_pair_fwd_kernel_pk, r2s=r2s, nss=nss,
+                                   css=css, eps=eps, pk=pk)
+        out_shape, out_specs = [], []
+        for cs in css:
+            out_shape += ([jax.ShapeDtypeStruct((bg, m, pk * cs[-1]),
+                                                jnp.float32)]
+                          + [jax.ShapeDtypeStruct((bg, 1, pk * ci),
+                                                  jnp.float32)
+                             for ci in cs] * 2)
+            out_specs += ([_stream(m, pk * cs[-1])]
+                          + [_stream(1, pk * ci) for ci in cs] * 2)
+        in_specs = ([_stream(pk, 3, n), _stream(pk, 1, n),
+                     _stream(pk, 1, n), _full(), _stream(pk, m, 3)]
+                    + ([_stream(pk, m, c1), _stream(pk, n, 3 * c1),
+                        _stream(pk, 1, c1)]
+                       + [_full()] * (3 * L - 1)) * 2)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(bg,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[pltpu.VMEM((rows_max, pk * ci), jnp.float32)
+                            for ci in cmax],
+            compiler_params=params,
+            interpret=interpret,
+        )(*shared[:3], ut, shared[3],
+          *sc_a, *wbda, *scpa, *bspa,
+          *sc_b, *wbdb, *scpb, *bspb)
+        res = []
+        per = 1 + 2 * L
+        for si, cs in enumerate(css):
+            o = outs[si * per:(si + 1) * per]
+            pooled = o[0].reshape(bg, m, pk, cs[-1]).transpose(
+                0, 2, 1, 3).reshape(b, m, cs[-1])
+            mus = tuple(x.reshape(b, ci)
+                        for x, ci in zip(o[1:1 + L], cs))
+            vrs = tuple(x.reshape(b, ci)
+                        for x, ci in zip(o[1 + L:], cs))
+            res += [pooled, mus, vrs]
+        return tuple(res)
+
+    def _run_pair_bwd_pk(b, pk, xtb, sqxb, maskfb, cb, p1a, cwa, p1b,
+                         cwb, wsa, sca, bia, wsb, scb, bib, dpa, dpb):
+        bg = b // pk
+        ut = jnp.triu(jnp.ones((n, n), jnp.bfloat16))
+        shared = _shared_streams(pk, bg, xtb, sqxb, maskfb, cb)
+        sc_a = _scale_streams(pk, bg, p1a, cwa)
+        sc_b = _scale_streams(pk, bg, p1b, cwb)
+        wbda, scpa, bspa = _pack_params(pk, wsa, sca, bia)
+        wbdb, scpb, bspb = _pack_params(pk, wsb, scb, bib)
+        dpooled = []
+        for dp, cs in zip((dpa, dpb), css):
+            dpooled.append(dp.reshape(bg, pk, m, cs[-1]).transpose(
+                0, 2, 1, 3).reshape(bg, m, pk * cs[-1]))
+        kernel = functools.partial(_pair_bwd_kernel_pk, r2s=r2s, nss=nss,
+                                   css=css, eps=eps, pk=pk)
+        out_shape, out_specs = [], []
+        for cs, ws in zip(css, (wsa, wsb)):
+            out_shape += (
+                [jax.ShapeDtypeStruct((bg, pk, n, c1), jnp.float32),
+                 jax.ShapeDtypeStruct((bg, m, pk * c1), jnp.float32)]
+                + [jax.ShapeDtypeStruct(
+                    (bg, pk * w.shape[0], pk * w.shape[1]), jnp.float32)
+                   for w in ws]
+                + [jax.ShapeDtypeStruct((bg, 1, pk * ci), jnp.float32)
+                   for ci in cs] * 2)
+            out_specs += ([_stream(pk, n, c1), _stream(m, pk * c1)]
+                          + [_stream(pk * w.shape[0], pk * w.shape[1])
+                             for w in ws]
+                          + [_stream(1, pk * ci) for ci in cs] * 2)
+        in_specs = ([_stream(pk, 3, n), _stream(pk, 1, n),
+                     _stream(pk, 1, n), _full(), _stream(pk, m, 3)]
+                    + ([_stream(pk, m, c1), _stream(pk, n, 3 * c1),
+                        _stream(pk, 1, c1)]
+                       + [_full()] * (3 * L - 1)) * 2
+                    + [_stream(m, pk * csa[-1]),
+                       _stream(m, pk * csb[-1])])
+        outs = pl.pallas_call(
+            kernel,
+            grid=(bg,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[pltpu.VMEM((rows_max, pk * ci), jnp.float32)
+                            for ci in cmax] * 2,
+            compiler_params=params,
+            interpret=interpret,
+        )(*shared[:3], ut, shared[3],
+          *sc_a, *wbda, *scpa, *bspa,
+          *sc_b, *wbdb, *scpb, *bspb, *dpooled)
+        res = []
+        pos = 0
+        for cs, ws in zip(css, (wsa, wsb)):
+            per = 2 + len(ws) + 2 * L
+            o = outs[pos:pos + per]
+            pos += per
+            dp1 = o[0].reshape(b, n, c1)
+            dcw = o[1].reshape(bg, m, pk, c1).transpose(
+                0, 2, 1, 3).reshape(b, m, c1)
+            dws = tuple(
+                jnp.stack([x[:, p * w.shape[0]:(p + 1) * w.shape[0],
+                             p * w.shape[1]:(p + 1) * w.shape[1]]
+                           for p in range(pk)], axis=1).reshape(
+                    (b,) + w.shape)
+                for x, w in zip(o[2:2 + len(ws)], ws))
+            dscales = tuple(x.reshape(b, ci) for x, ci in
+                            zip(o[2 + len(ws):2 + len(ws) + L], cs))
+            dbiases = tuple(x.reshape(b, ci) for x, ci in
+                            zip(o[2 + len(ws) + L:], cs))
+            res += [dp1, dcw, dws, dscales, dbiases]
+        return tuple(res)
+
+    def _bcast(x, batched, b):
+        return x if batched else jnp.broadcast_to(x[None], (b,) + x.shape)
+
+    @jax.custom_batching.custom_vmap
+    def fwd_call(xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia,
+                 wsb, scb, bib):
+        oa = core_a._fwd_call(xt, sqx, maskf, c, p1a, cwa, wsa, sca, bia)
+        ob = core_b._fwd_call(xt, sqx, maskf, c, p1b, cwb, wsb, scb, bib)
+        return oa + ob
+
+    @fwd_call.def_vmap
+    def _fwd_vmap(axis_size, in_batched, xt, sqx, maskf, c, p1a, cwa,
+                  p1b, cwb, wsa, sca, bia, wsb, scb, bib):
+        if any(jax.tree_util.tree_leaves(in_batched[8:])):
+            raise NotImplementedError(
+                "fused SA pair train kernel: vmap over MLP parameters")
+        b = axis_size
+        args = [_bcast(x, bt, b) for x, bt in
+                zip((xt, sqx, maskf, c, p1a, cwa, p1b, cwb),
+                    in_batched[:8])]
+        pk = _pick_pk_pair(b, csa, csb, n, m, nsa, nsb)
+        if pk > 1:
+            outs = _run_pair_fwd_pk(b, pk, *args, wsa, sca, bia,
+                                    wsb, scb, bib)
+        else:
+            oa = jax.vmap(lambda x1, x2, x3, x4, x5, x6:
+                          core_a._fwd_call(x1, x2, x3, x4, x5, x6,
+                                           wsa, sca, bia))(*args[:6])
+            ob = jax.vmap(lambda x1, x2, x3, x4, x5, x6:
+                          core_b._fwd_call(x1, x2, x3, x4, x5, x6,
+                                           wsb, scb, bib))(
+                *args[:4], *args[6:8])
+            outs = oa + ob
+        bt = (True, (True,) * L, (True,) * L)
+        return outs, bt + bt
+
+    @jax.custom_batching.custom_vmap
+    def bwd_call(xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia,
+                 wsb, scb, bib, dpa, dpb):
+        ga = core_a._bwd_call(xt, sqx, maskf, c, p1a, cwa, wsa, sca,
+                              bia, dpa)
+        gb = core_b._bwd_call(xt, sqx, maskf, c, p1b, cwb, wsb, scb,
+                              bib, dpb)
+        return ga + gb
+
+    @bwd_call.def_vmap
+    def _bwd_vmap(axis_size, in_batched, xt, sqx, maskf, c, p1a, cwa,
+                  p1b, cwb, wsa, sca, bia, wsb, scb, bib, dpa, dpb):
+        if any(jax.tree_util.tree_leaves(in_batched[8:14])):
+            raise NotImplementedError(
+                "fused SA pair train kernel: vmap over MLP parameters")
+        b = axis_size
+        args = [_bcast(x, bt, b) for x, bt in
+                zip((xt, sqx, maskf, c, p1a, cwa, p1b, cwb),
+                    in_batched[:8])]
+        dpa_b = _bcast(dpa, in_batched[14], b)
+        dpb_b = _bcast(dpb, in_batched[15], b)
+        pk = _pick_pk_pair(b, csa, csb, n, m, nsa, nsb)
+        if pk > 1:
+            outs = _run_pair_bwd_pk(b, pk, *args, wsa, sca, bia,
+                                    wsb, scb, bib, dpa_b, dpb_b)
+        else:
+            ga = jax.vmap(lambda x1, x2, x3, x4, x5, x6, dp:
+                          core_a._bwd_call(x1, x2, x3, x4, x5, x6,
+                                           wsa, sca, bia, dp))(
+                *args[:6], dpa_b)
+            gb = jax.vmap(lambda x1, x2, x3, x4, x5, x6, dp:
+                          core_b._bwd_call(x1, x2, x3, x4, x5, x6,
+                                           wsb, scb, bib, dp))(
+                *args[:4], *args[6:8], dpb_b)
+            outs = ga + gb
+        bt = (True, True, (True,) * (L - 1), (True,) * L, (True,) * L)
+        return outs, bt + bt
+
+    @jax.custom_vjp
+    def pair_core(xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia,
+                  wsb, scb, bib):
+        return fwd_call(xt, sqx, maskf, c, p1a, cwa, p1b, cwb,
+                        wsa, sca, bia, wsb, scb, bib)
+
+    def pair_fwd(xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia,
+                 wsb, scb, bib):
+        out = fwd_call(xt, sqx, maskf, c, p1a, cwa, p1b, cwb,
+                       wsa, sca, bia, wsb, scb, bib)
+        return out, (xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca,
+                     bia, wsb, scb, bib)
+
+    def pair_bwd(res, cots):
+        (xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia, wsb,
+         scb, bib) = res
+        dpa, _ma, _va, dpb, _mb, _vb = cots
+        (dp1a, dcwa, dwsa, dscaa, dbiaa,
+         dp1b, dcwb, dwsb, dscab, dbiab) = bwd_call(
+            xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia,
+            wsb, scb, bib, dpa, dpb)
+        return (jnp.zeros_like(xt), jnp.zeros_like(sqx),
+                jnp.zeros_like(maskf), jnp.zeros_like(c),
+                dp1a, dcwa, dp1b, dcwb, dwsa, dscaa, dbiaa,
+                dwsb, dscab, dbiab)
+
+    pair_core.defvjp(pair_fwd, pair_bwd)
+    return pair_core
+
+
+def fused_sa_pair_train(xyz, centers, features, mask, ws_a, scales_a,
+                        biases_a, ws_b, scales_b, biases_b, *,
+                        radius_a: float, nsample_a: int, radius_b: float,
+                        nsample_b: int, eps: float = 1e-5,
+                        interpret: bool | None = None):
+    """Both scales of one train-mode SA-MSG level in ONE fused dispatch.
+
+    Same per-scale semantics/returns as two fused_sa_scale_train calls:
+    ((pooled_a, mus_a, vars_a), (pooled_b, mus_b, vars_b)). Layer counts
+    and layer-0 widths must match across scales (structural in the
+    reference PNHead: same input channels, same MLP depth)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, m = xyz.shape[0], centers.shape[0]
+    xyz = xyz.astype(jnp.float32)
+    centers = centers.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
+    def hoist(ws):
+        w1 = ws[0].astype(jnp.float32)
+        p1 = jnp.dot(xyz, w1[:3], precision=hp)
+        if features is not None:
+            p1 = p1 + jnp.dot(features.astype(jnp.float32), w1[3:],
+                              precision=hp)
+        cw = jnp.dot(centers, w1[:3], precision=hp)
+        return p1, cw
+
+    p1a, cwa = hoist(ws_a)
+    p1b, cwb = hoist(ws_b)
+    xt = xyz.T
+    sqx = jnp.sum(xyz * xyz, axis=1)[None, :]
+    maskf = (jnp.ones((1, n), jnp.float32) if mask is None
+             else mask.astype(jnp.float32)[None, :])
+    csa = tuple(int(w.shape[1]) for w in ws_a)
+    csb = tuple(int(w.shape[1]) for w in ws_b)
+    core = _make_pair_core(float(radius_a) ** 2, int(nsample_a), csa,
+                           float(radius_b) ** 2, int(nsample_b), csb,
+                           n, m, float(eps), bool(interpret))
+    outs = core(xt, sqx, maskf, centers, p1a, cwa, p1b, cwb,
+                tuple(w.astype(jnp.float32) for w in ws_a[1:]),
+                tuple(s.astype(jnp.float32) for s in scales_a),
+                tuple(b.astype(jnp.float32) for b in biases_a),
+                tuple(w.astype(jnp.float32) for w in ws_b[1:]),
+                tuple(s.astype(jnp.float32) for s in scales_b),
+                tuple(b.astype(jnp.float32) for b in biases_b))
+    return (outs[0], outs[1], outs[2]), (outs[3], outs[4], outs[5])
 
 
 def sa_scale_train_reference(xyz, centers, features, mask, ws, scales,

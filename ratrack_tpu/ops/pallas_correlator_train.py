@@ -85,13 +85,23 @@ def _select_ids(q, xpt, sqp, maskf, k):
     return ids
 
 
-def _slot_oh(ids, s0, g, cols_row):
-    """One-hot block for slots s0..s0+g-1: (g·TM, M) from f32 ids."""
-    idcol = jnp.concatenate(ids[s0:s0 + g], axis=0)      # (g·TM, 1)
-    return idcol == cols_row                             # bool (g·TM, M)
+def _slot_oh(idcol_of, s0, g, cols_row):
+    """One-hot block for slots s0..s0+g-1: (g·TM, M) from f32 ids.
+    `idcol_of(s0, g)` yields the (g·TM, 1) stacked id column — from the
+    in-register selection list (forward) or the stashed ids ref
+    (backward)."""
+    return idcol_of(s0, g) == cols_row                   # bool (g·TM, M)
 
 
-def _gather_all(ids, featsp_b, xp, q, k, c, tm, m_pts, slots_ref,
+def _ids_block_reader(ids_ref, tm):
+    return lambda s0, g: ids_ref[s0 * tm:(s0 + g) * tm, :]
+
+
+def _ids_list_reader(ids):
+    return lambda s0, g: jnp.concatenate(ids[s0:s0 + g], axis=0)
+
+
+def _gather_all(idcol_of, featsp_b, xp, q, k, c, tm, m_pts, slots_ref,
                 dirs_ref):
     """slots (k·TM, C) bf16-value + dirs (k·TM, 3) exact into refs.
 
@@ -104,7 +114,7 @@ def _gather_all(ids, featsp_b, xp, q, k, c, tm, m_pts, slots_ref,
         jnp.int32, (1, m_pts), 1).astype(jnp.float32)
     g = min(k, _SLOT_BLOCK)
     for s0 in range(0, k, g):
-        oh = _slot_oh(ids, s0, g, cols_row)
+        oh = _slot_oh(idcol_of, s0, g, cols_row)
         ohb = oh.astype(jnp.bfloat16)
         slots_ref[s0 * tm:(s0 + g) * tm, :] = jax.lax.dot(
             ohb, featsp_b, preferred_element_type=jnp.float32)
@@ -135,14 +145,18 @@ def _fwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
                 addq_ref, wdir_ref, *refs, k: int, n_mlp: int, c: int,
                 has_add: bool):
     w_refs = refs[:2 * (n_mlp + 3)]
-    out_ref, slots_ref, dirs_ref = refs[2 * (n_mlp + 3):]
+    out_ref, ids_ref, slots_ref, dirs_ref = refs[2 * (n_mlp + 3):]
     q = q_ref[...]
     tm = q.shape[0]
     m_pts = xpt_ref.shape[1]
 
     ids = _select_ids(q, xpt_ref[...], sqp_ref[...], maskf_ref[...], k)
-    _gather_all(ids, featsp_ref[...], xpt_ref[...].T, q, k, c, tm,
-                m_pts, slots_ref, dirs_ref)
+    # stash the selection for the backward (k sequential min-extraction
+    # passes otherwise re-run there); exact in f32 (ids < N)
+    for s in range(k):
+        ids_ref[s * tm:(s + 1) * tm, :] = ids[s]
+    _gather_all(_ids_list_reader(ids), featsp_ref[...], xpt_ref[...].T,
+                q, k, c, tm, m_pts, slots_ref, dirs_ref)
 
     h2d = slots_ref[...]
     if has_add:
@@ -168,7 +182,8 @@ def _bwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
                 has_add: bool):
     w_refs = refs[:2 * (n_mlp + 3)]
     dout_ref = refs[2 * (n_mlp + 3)]
-    outs = refs[2 * (n_mlp + 3) + 1:]
+    ids_ref = refs[2 * (n_mlp + 3) + 1]
+    outs = refs[2 * (n_mlp + 3) + 2:]
     # outputs: dfeatsp, daddq, dq, dpoints, dwdir, (dw, db) × (n_mlp+3)
     dfeatsp_ref, daddq_ref, dq_ref, dpts_ref, dwdir_ref = outs[:5]
     dw_refs = outs[5:]
@@ -183,9 +198,11 @@ def _bwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
     tm = q.shape[0]
     m_pts = xpt_ref.shape[1]
 
-    # ---- forward recompute, keeping post-activations --------------------
-    ids = _select_ids(q, xpt_ref[...], sqp_ref[...], maskf_ref[...], k)
-    _gather_all(ids, featsp_ref[...], xpt_ref[...].T, q, k, c, tm,
+    # ---- forward recompute from the STASHED selection -------------------
+    # (the fwd kernel emitted its k min-extraction results; re-running
+    # them here was ~9% of this kernel)
+    idcol_of = _ids_block_reader(ids_ref, tm)
+    _gather_all(idcol_of, featsp_ref[...], xpt_ref[...].T, q, k, c, tm,
                 m_pts, slots_ref, dirs_ref)
     if has_add:
         a0 = _leaky(slots_ref[...] + jnp.broadcast_to(
@@ -278,7 +295,7 @@ def _bwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
     dfeatsp_ref[...] = jnp.zeros_like(dfeatsp_ref)
     dpts_ref[...] = jnp.zeros_like(dpts_ref)
     for s0 in range(0, k, g):
-        oh = _slot_oh(ids, s0, g, cols_row)
+        oh = _slot_oh(idcol_of, s0, g, cols_row)
         dblk = d_ref[s0 * tm:(s0 + g) * tm, :]
         # single-pass bf16 scatter: cotangent truncation, the documented
         # in-kernel dot class (the exact 3-split tripled this dot)
@@ -325,8 +342,9 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
             kernel,
             grid=(b,),
             in_specs=in_specs,
-            out_specs=_stream(n, c_out),
-            out_shape=jax.ShapeDtypeStruct((b, n, c_out), jnp.float32),
+            out_specs=(_stream(n, c_out), _stream(k * n, 1)),
+            out_shape=(jax.ShapeDtypeStruct((b, n, c_out), jnp.float32),
+                       jax.ShapeDtypeStruct((b, k * n, 1), jnp.float32)),
             scratch_shapes=[pltpu.VMEM((k * n, c), jnp.float32),
                             pltpu.VMEM((k * n, 3), jnp.float32)],
             compiler_params=params,
@@ -334,14 +352,15 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
         )(xptb, sqpb, maskfb, qb, featspb, addqb, wdirb, *wbs)
 
     def _run_bwd(b, xptb, sqpb, maskfb, qb, featspb, addqb, wdirb,
-                 wbs, doutb):
+                 wbs, doutb, idsb):
         kernel = functools.partial(_bwd_kernel, k=k, n_mlp=n_mlp, c=c,
                                    has_add=has_add)
         in_specs = ([_stream(3, m), _stream(1, m), _stream(1, m),
                      _stream(n, 3), _stream(m, c),
                      _stream(n, c if has_add else 1),
                      _stream(3, c if has_add else 1)]
-                    + [_full()] * (2 * n_wb) + [_stream(n, c_out)])
+                    + [_full()] * (2 * n_wb)
+                    + [_stream(n, c_out), _stream(k * n, 1)])
         # w_shapes has ONE entry per (w, b) layer pair
         wn_dims = [w_shapes[n_mlp + i][1] for i in range(3)]
         mlp_dims = [w_shapes[i][1] for i in range(n_mlp)]
@@ -376,7 +395,8 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
                    for d in wn_dims]),                     # wn acts
             compiler_params=params,
             interpret=interpret,
-        )(xptb, sqpb, maskfb, qb, featspb, addqb, wdirb, *wbs, doutb)
+        )(xptb, sqpb, maskfb, qb, featspb, addqb, wdirb, *wbs, doutb,
+          idsb)
         dfeatsp, daddq, dq, dpts, dwdir = outs[:5]
         dwb = outs[5:]
         return dfeatsp, daddq, dq, dpts, dwdir, tuple(dwb)
@@ -390,10 +410,10 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
 
     @jax.custom_batching.custom_vmap
     def fwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs):
-        out = _run_fwd(1, xpt[None], sqp[None], maskf[None], qx[None],
-                       _prep(1, featsp[None]), addq[None], wdir[None],
-                       wbs)
-        return out[0]
+        out, ids = _run_fwd(1, xpt[None], sqp[None], maskf[None],
+                            qx[None], _prep(1, featsp[None]),
+                            addq[None], wdir[None], wbs)
+        return out[0], ids[0]
 
     @fwd_call.def_vmap
     def _fwd_vmap(axis_size, in_batched, xpt, sqp, maskf, qx, featsp,
@@ -404,20 +424,21 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
         args = [_bcast(x, bt, b) for x, bt in
                 zip((xpt, sqp, maskf, qx, featsp, addq, wdir),
                     in_batched[:7])]
-        out = _run_fwd(b, args[0], args[1], args[2], args[3],
-                       _prep(b, args[4]), args[5], args[6], wbs)
-        return out, True
+        out, ids = _run_fwd(b, args[0], args[1], args[2], args[3],
+                            _prep(b, args[4]), args[5], args[6], wbs)
+        return (out, ids), (True, True)
 
     @jax.custom_batching.custom_vmap
-    def bwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, dout):
+    def bwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, dout,
+                 ids):
         outs = _run_bwd(1, xpt[None], sqp[None], maskf[None], qx[None],
                         _prep(1, featsp[None]), addq[None], wdir[None],
-                        wbs, dout[None])
+                        wbs, dout[None], ids[None])
         return jax.tree_util.tree_map(lambda x: x[0], outs)
 
     @bwd_call.def_vmap
     def _bwd_vmap(axis_size, in_batched, xpt, sqp, maskf, qx, featsp,
-                  addq, wdir, wbs, dout):
+                  addq, wdir, wbs, dout, ids):
         if any(jax.tree_util.tree_leaves(in_batched[7])):
             raise NotImplementedError("vmap over correlator params")
         b = axis_size
@@ -425,23 +446,28 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
                 zip((xpt, sqp, maskf, qx, featsp, addq, wdir),
                     in_batched[:7])]
         doutb = _bcast(dout, in_batched[8], b)
+        idsb = _bcast(ids, in_batched[9], b)
         outs = _run_bwd(b, args[0], args[1], args[2], args[3],
-                        _prep(b, args[4]), args[5], args[6], wbs, doutb)
+                        _prep(b, args[4]), args[5], args[6], wbs,
+                        doutb, idsb)
         batched = jax.tree_util.tree_map(lambda _: True, outs)
         return outs, batched
 
     @jax.custom_vjp
     def core(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs):
-        return fwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs)
+        out, _ids = fwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir,
+                             wbs)
+        return out
 
     def core_fwd(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs):
-        out = fwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs)
-        return out, (xpt, sqp, maskf, qx, featsp, addq, wdir, wbs)
+        out, ids = fwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir,
+                            wbs)
+        return out, (xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, ids)
 
     def core_bwd(res, dout):
-        xpt, sqp, maskf, qx, featsp, addq, wdir, wbs = res
+        xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, ids = res
         dfeatsp, daddq, dq, dpts, dwdir, dwb = bwd_call(
-            xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, dout)
+            xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, dout, ids)
         # dpoints arrives per-point; xpt is its transpose
         return (dpts.T, jnp.zeros_like(sqp), jnp.zeros_like(maskf),
                 dq, dfeatsp,

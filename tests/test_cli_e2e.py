@@ -101,3 +101,23 @@ def test_vod_train_then_eval_cli(tmp_path):
     log = open(os.path.join(common["checkpoints_dir"], "e2e",
                             "run.log")).read()
     assert "[eval/scan]" in log     # the scan path actually ran
+
+
+def test_shipped_configs_parse():
+    """Every checked-in configs/*.yaml loads through Config with no
+    unknown-key warnings (catches config/key drift — the loader only
+    warns, so a typo'd key silently falls back to the default)."""
+    import glob
+    import warnings
+
+    from ratrack_tpu.config import load_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.yaml")))
+    assert len(paths) >= 7
+    for p in paths:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            cfg = load_config(p)
+        assert cfg.n_max >= cfg.npoints > 0, p
+        assert cfg.scan_frames >= 0, p

@@ -145,33 +145,34 @@ def main():
     results.append(dict(scenario="train_512pt_8streams", **r))
 
     # 4. 8k stretch eval (config 4 shape) — the compute-bound regime
-    # where MFU is meaningful (VERDICT r2 #5)
+    # where MFU is meaningful (VERDICT r2 #5). T=16 frames per dispatch:
+    # the ~10-15 ms fixed dispatch overhead was 2.4 ms/frame at T=4.
     model, variables, frames, tstates = _setup(
-        8192, 1, 4, exact_fps=True, mov_budget=512)
+        8192, 1, 16, exact_fps=True, mov_budget=512)
     r = _bench(make_scan_eval_step(model), (variables, tstates, frames),
-               4, reps=3, profile=True)
+               16, reps=3, profile=True)
     results.append(dict(scenario="eval_8192pt_stretch", **r))
 
     # 4b. 8k stretch fused training
     cfg8 = Config(n_max=8192, k_max=32, g_max=32, npoints=512,
                   sinkhorn_iters=500, exact_fps=True, mov_budget=512)
     model, variables, frames, tstates = _setup(
-        8192, 2, 2, exact_fps=True, mov_budget=512)
+        8192, 2, 8, exact_fps=True, mov_budget=512)
     frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
     ts = create_train_state(model, cfg8, frame0, init_state(32), 100)
     tx = make_optimizer(cfg8, 100)
     scan_train = make_scan_train_step(model, tx)
     r = _bench(lambda *a: scan_train(*a)[2],
-               (ts, tstates, frames, jnp.asarray(False)), 2 * 2, reps=3,
+               (ts, tstates, frames, jnp.asarray(False)), 2 * 8, reps=3,
                profile=True)
     results.append(dict(scenario="train_8192pt_stretch", **r))
 
     # 4c. 16k stretch eval — the top of BASELINE config 4's "4k-16k pts"
     # range (chunked neighborhood ops + tiled kNN kernel)
     model, variables, frames, tstates = _setup(
-        16384, 1, 2, exact_fps=True, mov_budget=512)
+        16384, 1, 8, exact_fps=True, mov_budget=512)
     r = _bench(make_scan_eval_step(model), (variables, tstates, frames),
-               2, reps=3, profile=True)
+               8, reps=3, profile=True)
     results.append(dict(scenario="eval_16384pt_stretch", **r))
 
     # 5. online serving latency: single stream, ONE frame per dispatch
@@ -199,6 +200,26 @@ def main():
                         ms_per_frame=round(1000 * dt, 3),
                         fps=round(1 / dt, 2), compile_s=0.0,
                         bucket=svc.last_bucket, **prof))
+
+    # 5b. serving at full load: 8 live streams per step() dispatch
+    svc8 = RadarTracker(model, variables, n_max=512, max_streams=8)
+    sids = [svc8.open_stream() for _ in range(8)]
+
+    def step8():
+        for s in sids:
+            svc8.submit(s, scan())
+        return svc8.step()
+    step8(); step8()                             # compile the B=8 bucket
+    t0 = time.time()
+    reps = 20
+    for _ in range(reps):
+        step8()
+    dt = (time.time() - t0) / (reps * 8)
+    prof = _profile(step8, (), 8)
+    results.append(dict(scenario="serve_throughput_8streams",
+                        ms_per_frame=round(1000 * dt, 3),
+                        fps=round(1 / dt, 2), compile_s=0.0,
+                        bucket=svc8.last_bucket, **prof))
 
     for row in results:
         row["backend"] = jax.default_backend()

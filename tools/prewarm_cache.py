@@ -12,7 +12,7 @@ compile, and records WHERE the time goes for each program:
 Programs (matching bench.py / tools/bench_suite.py / serve.py shapes):
   1. scan-eval cached-backbone, 8 streams × 32 frames  (bench.py)
   2. scan-eval cached-backbone, 1 stream               (suite #1)
-  3. scan-train fused, 8 streams × 8 frames            (suite #3)
+  3. scan-train fused, 8 streams × 32 frames           (suite #3)
   4. serving step buckets B=1 and B=8                  (serve.py)
 
 Usage:  python tools/prewarm_cache.py [--out PREWARM.json]
@@ -118,28 +118,28 @@ def main(argv=None):
 
     if not args.skip_8k:
         model, variables, frames, tstates = _setup(
-            8192, 1, 4, exact_fps=True, mov_budget=512)
+            8192, 1, 16, exact_fps=True, mov_budget=512)
         step = make_scan_eval_step_cached(model)
-        _timed_compile("scan_eval_8k_1x4", step,
+        _timed_compile("scan_eval_8k_1x16", step,
                        (variables, tstates, frames), results)
         if not args.skip_train:
             cfg8 = Config(n_max=8192, k_max=32, g_max=32, npoints=512,
                           sinkhorn_iters=500, exact_fps=True,
                           mov_budget=512)
             model, variables, frames, tstates = _setup(
-                8192, 2, 2, exact_fps=True, mov_budget=512)
+                8192, 2, 8, exact_fps=True, mov_budget=512)
             frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
             ts = create_train_state(model, cfg8, frame0, init_state(32),
                                     100)
             tx8 = make_optimizer(cfg8, 100)
             scan_train8 = make_scan_train_step(model, tx8)
-            _timed_compile("scan_train_8k_2x2", scan_train8,
+            _timed_compile("scan_train_8k_2x8", scan_train8,
                            (ts, tstates, frames, jnp.asarray(False)),
                            results)
         model, variables, frames, tstates = _setup(
-            16384, 1, 2, exact_fps=True, mov_budget=512)
+            16384, 1, 8, exact_fps=True, mov_budget=512)
         step = make_scan_eval_step_cached(model)
-        _timed_compile("scan_eval_16k_1x2", step,
+        _timed_compile("scan_eval_16k_1x8", step,
                        (variables, tstates, frames), results)
 
     summary = dict(total_s=round(time.time() - t_all, 1),

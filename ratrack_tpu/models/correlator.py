@@ -54,9 +54,12 @@ class FeatureCorrelator(nn.Module):
         wn2 = WeightNet(self.mlp[-1], dtype=self.dtype, name="weightnet2")
 
         d1, d2c = f1.shape[-1], f2.shape[-1]
-        # n <= 4096: the kernel's k unrolled min-extraction passes hold
-        # (tile, N) temporaries on the Mosaic stack — ~70M at N=8192
-        # (compile-time vmem OOM); large clouds keep the chunked kNN path
+        # n <= 4096: past that the fused kernel LOSES (measured round 3:
+        # 15.1 vs 13.9 ms/frame at 8k eval, 51.5 vs 30.0 at 16k, via the
+        # loop-select kernel variant) — its exact one-hot MXU gathers
+        # cost k·N·M·C FLOPs, quadratic in cloud size, while the XLA
+        # path's row gathers fuse with the grouped MLP and the tiled
+        # pallas kNN owns selection. Large clouds keep the chunked path.
         fused = (not train and self.fused_eval
                  and pallas_sa.fused_available() and n % TILE_M == 0
                  and n <= 4096)

@@ -41,14 +41,18 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_M = 128      # query-tile granularity (gating: N % TILE_M == 0)
 MAX_TILE_M = 256  # preferred tile (512 exceeds the 16M scoped-vmem limit)
 _BIG = 1e10
+_LOOP_SELECT_MIN_M = 4097   # larger candidate counts: fori_loop selection
+_VMEM_LIMIT = 96 * 1024 * 1024
 
 
 def _pick_tile(n: int, m: int) -> int:
     """Largest tile dividing n whose (tile, M) working set stays in VMEM.
 
-    The min-extraction holds several (tile, M) f32 temporaries live; at
-    M=8192 a 256 tile spills past the 128M chip VMEM (measured OOM), so
-    large candidate counts stay at the 128 granularity.
+    Unrolled selection (m <= 4096) holds several (tile, M) f32
+    temporaries PER UNROLLED ITERATION live; the loop-select path
+    (m > 4096) bounds them to one iteration's worth, but at M >= 8192
+    even that keeps the 128 granularity (dm scratch + iteration
+    temporaries + the resident feature operand).
     """
     cap = MAX_TILE_M if m <= 4096 else TILE_M
     for t in (MAX_TILE_M, TILE_M):
@@ -63,14 +67,18 @@ def _leaky(x):
 
 def _corr_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
                  addq_ref, *refs, k: int, n_mlp: int, compute_dtype,
-                 precision, has_add: bool):
+                 precision, has_add: bool, loop_select: bool):
     """One program: TILE_M query points vs all M candidates."""
     # refs: n_mlp * (w, b) pair-MLP layers (leaky), then 3 * (w, b)
-    # WeightNet layers (relu), then out_ref and 2 scratch refs.
+    # WeightNet layers (relu), then out_ref and the scratch refs.
     w_refs = refs[:2 * (n_mlp + 3)]
-    out_ref, slots_ref, dirs_ref = refs[2 * (n_mlp + 3):]
+    if loop_select:
+        out_ref, slots_ref, dirs_ref, dm_ref = refs[2 * (n_mlp + 3):]
+    else:
+        out_ref, slots_ref, dirs_ref = refs[2 * (n_mlp + 3):]
 
     q = q_ref[...]                                     # (TM, 3)
+    tm = q.shape[0]
     sqq = jnp.sum(q * q, axis=1, keepdims=True)
     xpt = xpt_ref[...]                                 # (3, M)
     prod = (q[:, 0:1] * xpt[0:1, :] + q[:, 1:2] * xpt[1:2, :]
@@ -82,28 +90,58 @@ def _corr_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
 
     featsp = featsp_ref[...].astype(compute_dtype)     # (M, C)
     xp_cols = xpt.T.astype(compute_dtype)              # (M, 3)
-    oh0 = None
-    for s in range(k):
-        m = jnp.min(dm, axis=1, keepdims=True)
-        # lowest index on ties (top_k stable order): second min over iota
-        jmin = jnp.min(jnp.where(dm == m, cols, float(n_pts)), axis=1,
-                       keepdims=True)
-        oh = (cols == jmin).astype(jnp.float32)
-        if s == 0:
-            oh0 = oh
-        else:
-            oh = jnp.where(m >= _BIG, oh0, oh)         # knn repeat-nearest
-        ohc = oh.astype(compute_dtype)
-        slots_ref[s, :, :] = jax.lax.dot(
-            ohc, featsp, preferred_element_type=jnp.float32,
-            precision=precision)
-        dirs_ref[s, :, :] = jax.lax.dot(
-            ohc, xp_cols, preferred_element_type=jnp.float32,
-            precision=precision) - q
-        dm = jnp.where(oh > 0.0, _BIG, dm)
+    if loop_select:
+        # dm lives in a scratch ref and the k extractions run as a
+        # fori_loop: the UNROLLED form stack-allocates every iteration's
+        # (TM, M) temporaries at once (compile-time VMEM OOM past
+        # M=4096), while the loop bounds them to one iteration. The
+        # repeat-nearest/no-hit rule is index-carried: jid0 (the s=0
+        # selection, 0 on all-BIG rows since jmin over an all-tied row
+        # is column 0) replaces jmin whenever the row is exhausted —
+        # identical selections to the unrolled form.
+        dm_ref[...] = dm
 
-    tm = q.shape[0]
-    h = slots_ref[...]                                 # (k, TM, C)
+        def body(s, jid0):
+            dmv = dm_ref[...]
+            mrow = jnp.min(dmv, axis=1, keepdims=True)
+            jmin = jnp.min(jnp.where(dmv == mrow, cols, float(n_pts)),
+                           axis=1, keepdims=True)
+            jid = jnp.where(mrow >= _BIG, jid0, jmin)
+            oh = (cols == jid).astype(jnp.float32)
+            ohc = oh.astype(compute_dtype)
+            slots_ref[pl.ds(s * tm, tm), :] = jax.lax.dot(
+                ohc, featsp, preferred_element_type=jnp.float32,
+                precision=precision)
+            dirs_ref[pl.ds(s * tm, tm), :] = jax.lax.dot(
+                ohc, xp_cols, preferred_element_type=jnp.float32,
+                precision=precision) - q
+            dm_ref[...] = jnp.where(oh > 0.0, _BIG, dmv)
+            return jnp.where(s == 0, jid, jid0)
+
+        jax.lax.fori_loop(0, k, body, jnp.zeros((tm, 1), jnp.float32))
+    else:
+        oh0 = None
+        for s in range(k):
+            m = jnp.min(dm, axis=1, keepdims=True)
+            # lowest index on ties (top_k stable order): second min over
+            # iota
+            jmin = jnp.min(jnp.where(dm == m, cols, float(n_pts)),
+                           axis=1, keepdims=True)
+            oh = (cols == jmin).astype(jnp.float32)
+            if s == 0:
+                oh0 = oh
+            else:
+                oh = jnp.where(m >= _BIG, oh0, oh)     # knn repeat-nearest
+            ohc = oh.astype(compute_dtype)
+            slots_ref[s * tm:(s + 1) * tm, :] = jax.lax.dot(
+                ohc, featsp, preferred_element_type=jnp.float32,
+                precision=precision)
+            dirs_ref[s * tm:(s + 1) * tm, :] = jax.lax.dot(
+                ohc, xp_cols, preferred_element_type=jnp.float32,
+                precision=precision) - q
+            dm = jnp.where(oh > 0.0, _BIG, dm)
+
+    h = slots_ref[...].reshape(k, tm, slots_ref.shape[-1])  # (k, TM, C)
     cdim = h.shape[-1]
     if has_add:
         # stage 1: finish the factorized layer 1 (leaky activation)
@@ -120,7 +158,7 @@ def _corr_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
                         precision=precision)
         h2d = _leaky(y + b)
 
-    d2d = dirs_ref[...].reshape(k * tm, 3)
+    d2d = dirs_ref[...]                                # (k·TM, 3)
     for li in range(3):
         w = w_refs[2 * (n_mlp + li)][...]
         b = w_refs[2 * (n_mlp + li) + 1][...]
@@ -137,7 +175,8 @@ def fused_knn_weight_aggregate(query_xyz, points_xyz, feats_p, add_q,
                                mask_p, mlp_ws, mlp_bs, wn_ws, wn_bs, *,
                                k: int = 16, compute_dtype=jnp.bfloat16,
                                precision=None,
-                               interpret: bool | None = None):
+                               interpret: bool | None = None,
+                               force_loop_select: bool = False):
     """Fused kNN + pair MLP + WeightNet-weighted sum over one cloud pair.
 
     Args:
@@ -161,18 +200,21 @@ def fused_knn_weight_aggregate(query_xyz, points_xyz, feats_p, add_q,
         query_xyz, points_xyz, feats_p, add_q, mask_p, tuple(mlp_ws),
         tuple(mlp_bs), tuple(wn_ws), tuple(wn_bs), k=k,
         compute_dtype=compute_dtype, precision=precision,
-        interpret=interpret)
+        interpret=interpret, force_loop_select=force_loop_select)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "compute_dtype", "precision", "interpret"))
+    static_argnames=("k", "compute_dtype", "precision", "interpret",
+                     "force_loop_select"))
 def _fused_knn_weight_aggregate(query_xyz, points_xyz, feats_p, add_q,
                                 mask_p, mlp_ws, mlp_bs, wn_ws, wn_bs, *,
-                                k, compute_dtype, precision, interpret):
+                                k, compute_dtype, precision, interpret,
+                                force_loop_select=False):
     n = query_xyz.shape[0]
     m = points_xyz.shape[0]
     tile = _pick_tile(n, m)
+    loop_select = force_loop_select or m >= _LOOP_SELECT_MIN_M
     query_xyz = query_xyz.astype(jnp.float32)
     points_xyz = points_xyz.astype(jnp.float32)
     xpt = points_xyz.T
@@ -195,7 +237,16 @@ def _fused_knn_weight_aggregate(query_xyz, points_xyz, feats_p, add_q,
 
     kernel = functools.partial(
         _corr_kernel, k=k, n_mlp=len(mlp_ws), compute_dtype=compute_dtype,
-        precision=precision, has_add=has_add)
+        precision=precision, has_add=has_add, loop_select=loop_select)
+    scratch = [
+        pltpu.VMEM((k * tile, c), jnp.float32),        # slot features
+        pltpu.VMEM((k * tile, 3), jnp.float32),        # slot directions
+    ]
+    kw = {}
+    if loop_select:
+        scratch.append(pltpu.VMEM((tile, m), jnp.float32))   # dm
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)
     addq_spec = (pl.BlockSpec((tile, c), lambda i: (i, 0),
                               memory_space=pltpu.VMEM) if has_add
                  else pl.BlockSpec((tile, 1), lambda i: (i, 0),
@@ -216,9 +267,7 @@ def _fused_knn_weight_aggregate(query_xyz, points_xyz, feats_p, add_q,
         out_specs=pl.BlockSpec((tile, c_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c_out), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((k, tile, c), jnp.float32),         # slot features
-            pltpu.VMEM((k, tile, 3), jnp.float32),         # slot directions
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
+        **kw,
     )(xpt, sqp, maskf, query_xyz, feats_p, add_q, *layer_ops)

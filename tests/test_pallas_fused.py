@@ -143,6 +143,46 @@ class TestFusedCorrelator:
                         jax.tree_util.tree_leaves(vs_f["params"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.parametrize("n_valid", [350, 5, 0])
+    def test_loop_select_matches_unrolled(self, n_valid):
+        """The fori_loop selection (routing for M > 4096 — the unrolled
+        form VMEM-OOMs there) must produce identical outputs to the
+        unrolled path: same extraction order, same repeat-nearest and
+        no-hit index-0 rules, same dots."""
+        from ratrack_tpu.ops.pallas_correlator import (
+            fused_knn_weight_aggregate)
+
+        rng, pc1, pc2, f1, f2 = self._case(4, n=256)
+        rngw = np.random.RandomState(7)
+        featsp = jnp.asarray(rngw.randn(256, 64).astype(np.float32))
+        addq = jnp.asarray(rngw.randn(256, 64).astype(np.float32))
+        mlp_ws = [jnp.asarray(rngw.randn(64, 64).astype(np.float32))]
+        mlp_bs = [jnp.asarray(rngw.randn(64).astype(np.float32))]
+        wn_ws = [jnp.asarray(rngw.randn(3, 16).astype(np.float32)),
+                 jnp.asarray(rngw.randn(16, 16).astype(np.float32)),
+                 jnp.asarray(rngw.randn(16, 64).astype(np.float32))]
+        wn_bs = [jnp.asarray(rngw.randn(c).astype(np.float32))
+                 for c in (16, 16, 64)]
+        mask = jnp.asarray(np.arange(256) < n_valid)
+
+        kw = dict(mask_p=mask, mlp_ws=mlp_ws, mlp_bs=mlp_bs,
+                  wn_ws=wn_ws, wn_bs=wn_bs, k=16)
+        a = fused_knn_weight_aggregate(pc1[:256], pc2[:256], featsp,
+                                       addq, **kw)
+        b = fused_knn_weight_aggregate(pc1[:256], pc2[:256], featsp,
+                                       addq, force_loop_select=True,
+                                       **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # stage-2 form (no pair MLP, no add_q)
+        kw2 = dict(mask_p=mask, mlp_ws=[], mlp_bs=[],
+                   wn_ws=wn_ws, wn_bs=wn_bs, k=16)
+        a2 = fused_knn_weight_aggregate(pc1[:256], pc2[:256], featsp,
+                                        None, **kw2)
+        b2 = fused_knn_weight_aggregate(pc1[:256], pc2[:256], featsp,
+                                        None, force_loop_select=True,
+                                        **kw2)
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
     def test_train_path_unchanged_by_flag(self):
         # train=True must never take the fused branch regardless of flag
         _, pc1, pc2, f1, f2 = self._case(3)

@@ -115,9 +115,13 @@ def main():
 
     results = []
 
-    # 1. single-stream live config (BASELINE config 1 shape)
-    model, variables, frames, tstates = _setup(512, 1, 32)
-    r = _bench(make_scan_eval_step(model), (variables, tstates, frames), 32)
+    # 1. single-stream live config (BASELINE config 1 shape). T=128
+    # frames per dispatch — a lone stream is the shape where the
+    # ~10-15 ms fixed dispatch cost hurts most (0.47 ms/frame at T=32),
+    # and VoD clips run hundreds of frames.
+    model, variables, frames, tstates = _setup(512, 1, 128)
+    r = _bench(make_scan_eval_step(model), (variables, tstates, frames),
+               128)
     results.append(dict(scenario="eval_512pt_1stream", **r))
 
     # 2. full eval throughput (configs 2/5 shape)

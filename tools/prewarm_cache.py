@@ -71,11 +71,11 @@ def main(argv=None):
     results = []
     t_all = time.time()
 
-    # 1-2: scan-eval at 8 and 1 streams
-    for b in (8, 1):
-        model, variables, frames, tstates = _setup(512, b, 32)
+    # 1-2: scan-eval at 8 streams (bench.py shape) and 1 stream (suite)
+    for b, t in ((8, 32), (1, 128)):
+        model, variables, frames, tstates = _setup(512, b, t)
         step = make_scan_eval_step_cached(model)
-        _timed_compile(f"scan_eval_cached_{b}x32", step,
+        _timed_compile(f"scan_eval_cached_{b}x{t}", step,
                        (variables, tstates, frames), results)
 
     # 3: fused scan-train (T=32 — the bench/production scan window)

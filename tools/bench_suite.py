@@ -171,13 +171,26 @@ def main():
                profile=True)
     results.append(dict(scenario="train_8192pt_stretch", **r))
 
-    # 4c. 16k stretch eval — the top of BASELINE config 4's "4k-16k pts"
-    # range (chunked neighborhood ops + tiled kNN kernel)
+    # 4c. 16k stretch eval + train — the top of BASELINE config 4's
+    # "4k-16k pts" range (chunked neighborhood ops + tiled kNN kernel)
     model, variables, frames, tstates = _setup(
         16384, 1, 8, exact_fps=True, mov_budget=512)
     r = _bench(make_scan_eval_step(model), (variables, tstates, frames),
                8, reps=3, profile=True)
     results.append(dict(scenario="eval_16384pt_stretch", **r))
+
+    cfg16 = Config(n_max=16384, k_max=32, g_max=32, npoints=512,
+                   sinkhorn_iters=500, exact_fps=True, mov_budget=512)
+    model, variables, frames, tstates = _setup(
+        16384, 1, 4, exact_fps=True, mov_budget=512)
+    frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
+    ts = create_train_state(model, cfg16, frame0, init_state(32), 100)
+    tx = make_optimizer(cfg16, 100)
+    scan_train = make_scan_train_step(model, tx)
+    r = _bench(lambda *a: scan_train(*a)[2],
+               (ts, tstates, frames, jnp.asarray(False)), 4, reps=2,
+               profile=True)
+    results.append(dict(scenario="train_16384pt_stretch", **r))
 
     # 5. online serving latency: single stream, ONE frame per dispatch
     # (what serve.RadarTracker.track pays per scan, incl. host round-trip)

@@ -141,6 +141,20 @@ def main(argv=None):
         step = make_scan_eval_step_cached(model)
         _timed_compile("scan_eval_16k_1x8", step,
                        (variables, tstates, frames), results)
+        if not args.skip_train:
+            cfg16 = Config(n_max=16384, k_max=32, g_max=32, npoints=512,
+                           sinkhorn_iters=500, exact_fps=True,
+                           mov_budget=512)
+            model, variables, frames, tstates = _setup(
+                16384, 1, 4, exact_fps=True, mov_budget=512)
+            frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
+            ts = create_train_state(model, cfg16, frame0,
+                                    init_state(32), 100)
+            tx16 = make_optimizer(cfg16, 100)
+            scan_train16 = make_scan_train_step(model, tx16)
+            _timed_compile("scan_train_16k_1x4", scan_train16,
+                           (ts, tstates, frames, jnp.asarray(False)),
+                           results)
 
     summary = dict(total_s=round(time.time() - t_all, 1),
                    backend=jax.default_backend(), programs=results)

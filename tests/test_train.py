@@ -325,3 +325,81 @@ def test_batched_blocks_all_skipped_group_yields_padding():
     assert len(blocks) == 1
     assert not np.asarray(blocks[0].mask1[1]).any()   # padding stream
     assert np.asarray(blocks[0].mask1[0]).any()       # real stream
+
+
+def test_full_model_fused_train_grads_match_unfused():
+    """End-to-end structural anchor for the fused TRAIN path: one full
+    Track4D train-mode forward + SEG-loss gradient (the pretrain gate's
+    continuous path) with fused_train=True (radius-pair SA kernels +
+    fused correlator stages, CPU interpret) vs the unfused XLA path.
+
+    Bounds are the composition class, looser than the per-module 0.99:
+    on CPU the unfused baseline's dots are exact f32 while the kernels
+    keep their TPU bf16-pass numerics, and ~10 stacked modules of
+    ~1e-2-class forward deltas shift ReLU/BN boundaries (measured
+    per-leaf cosines 0.80-0.99 here; on the real chip both paths are
+    bf16-pass and the module tests pin 0.99). The FULL loss is not
+    compared: flow/affinity flow through discrete stages (cls>0.5
+    masks, DBSCAN labels, GT matching) whose selections flip under any
+    forward perturbation, decorrelating gradients by construction —
+    the fused path's training QUALITY is instead pinned end-to-end by
+    the synthetic-world run (seg acc 0.98 / SAMOTA 93, README). This
+    test's job is to catch structural breakage (wrong routing, dead
+    grads, tree mismatch), where cosines collapse toward 0."""
+    from ratrack_tpu.ops import pallas_sa
+    from ratrack_tpu.train import track4d_loss as t4d_loss
+
+    n = 128   # fused_t gating needs n % 128 == 0, npoint % 128 == 0
+    c = synthetic_clip(3, 2, n_max=n, g_max=G, n_static=60, n_objects=2,
+                       pts_per_obj=8)
+    frame = jax.tree_util.tree_map(lambda x: jnp.asarray(x[-1]),
+                                   stack_frames(c))
+    state = init_state(K)
+
+    old = pallas_sa.FORCE_FUSED_ON_CPU
+    pallas_sa.FORCE_FUSED_ON_CPU = True
+    try:
+        def grads_of(fused):
+            model = Track4D(npoint=n, k_max=K, sinkhorn_iters=20,
+                            fused_eval=False, fused_train=fused)
+            vs = model.init(jax.random.PRNGKey(0), frame, state,
+                            train=False)
+
+            def loss_fn(params):
+                (out, _), _ = model.apply(
+                    {"params": params,
+                     "batch_stats": vs.get("batch_stats", {})},
+                    frame, state, train=True, mutable=["batch_stats"])
+                loss, _ = t4d_loss(out, frame, jnp.asarray(True))
+                return loss
+
+            loss, g = jax.value_and_grad(loss_fn)(vs["params"])
+            return float(loss), g
+
+        lf, gf = grads_of(True)
+        lu, gu = grads_of(False)
+    finally:
+        pallas_sa.FORCE_FUSED_ON_CPU = old
+
+    assert abs(lf - lu) / (abs(lu) + 1e-9) < 0.01, (lf, lu)
+    flat_f = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(gf)}
+    flat_u = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(gu)}
+    assert set(flat_f) == set(flat_u)
+    all_f, all_u = [], []
+    for key in flat_u:
+        a = np.asarray(flat_f[key]).ravel()
+        r = np.asarray(flat_u[key]).ravel()
+        nr = float(np.linalg.norm(r))
+        if nr < 1e-6:    # structurally-(near-)zero grads: seg loss does
+            continue     # not reach the GRU/affinity/redundant biases
+        all_f.append(a)
+        all_u.append(r)
+        cos = float(np.dot(a, r) / (np.linalg.norm(a) * nr + 1e-12))
+        assert cos > 0.7, (key, cos)
+    af = np.concatenate(all_f)
+    au = np.concatenate(all_u)
+    gcos = float(np.dot(af, au)
+                 / (np.linalg.norm(af) * np.linalg.norm(au) + 1e-12))
+    assert gcos > 0.93, gcos

@@ -1329,10 +1329,6 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
         return (cwb_.reshape(bg, pk, m, c1), p1catp,
                 p1b_[:, 0:1, :].reshape(bg, pk, 1, c1))
 
-    def _scale_in_specs(cs):
-        return ([_stream(pk_spec, m, c1) for pk_spec in (None,)]  # placeholder
-                )
-
     def _run_pair_fwd_pk(b, pk, xtb, sqxb, maskfb, cb, p1a, cwa, p1b,
                          cwb, wsa, sca, bia, wsb, scb, bib):
         bg = b // pk

@@ -60,9 +60,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .sampling import _bf16_parts
 
 # raised scoped-VMEM budget: the sa3 scale-b backward holds two xhat
-# tensors + the cotangent ping-pong (~18 MB); v5e VMEM is far larger
-# than Mosaic's 16 MB default scoped limit
-_VMEM_LIMIT = 96 * 1024 * 1024
+# tensors + the cotangent ping-pong (~18 MB), and the pair FWD kernel
+# additionally streams both scales' xhat stash blocks (~24 MB at sa3
+# pk=2, measured 104.2M total); v5e VMEM is 128M physical and far
+# larger than Mosaic's 16M default scoped limit
+_VMEM_LIMIT = 112 * 1024 * 1024
 
 
 def _bf16_cat3(v: jnp.ndarray) -> jnp.ndarray:
@@ -1060,12 +1062,17 @@ def _packed_gather(ranks, hits, p1cat_ref, cw_ref, p1row0_ref, act0_ref,
 def _pair_fwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
                         r2s, nss, css, eps: float, pk: int):
     """Packed pair forward: shared selection, scales sequential through
-    shared scratch."""
+    shared scratch. Emits the per-layer NORMALIZED activations (xhat,
+    lane-packed) as outputs — the backward consumes them instead of
+    re-running gather + dots + batch stats (the recompute was ~40% of
+    the backward kernel's time). Pooled values stay bit-identical to
+    the recompute formulation: the activation keeps the fused
+    (inv·scale) expression; xhat is an extra (h−mu)·inv pass."""
     L = len(css[0])
     per_in = 3 * L + 2               # cw, p1cat, row0, ws(L-1), sc(L), bi(L)
     ins = [refs[s * per_in:(s + 1) * per_in] for s in range(2)]
     k = 2 * per_in
-    per_out = 1 + 2 * L
+    per_out = 1 + 3 * L              # pooled, mu(L), var(L), xhat(L)
     outs = [refs[k + s * per_out:k + (s + 1) * per_out] for s in range(2)]
     act_refs = refs[k + 2 * per_out:]
     m = c_ref.shape[1]
@@ -1079,7 +1086,8 @@ def _pair_fwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
         biases = ins[si][3 + 2 * L - 1:3 + 3 * L - 1]
         pooled_ref = outs[si][0]
         mu_refs = outs[si][1:1 + L]
-        var_refs = outs[si][1 + L:]
+        var_refs = outs[si][1 + L:1 + 2 * L]
+        xh_refs = outs[si][1 + 2 * L:]
         ns, cs = nss[si], css[si]
         rows = ns * m
         count = jnp.float32(rows)
@@ -1097,36 +1105,56 @@ def _pair_fwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
             mu, var = _batch_stats(h, count)
             mu_refs[li][...] = mu
             var_refs[li][...] = var
-            inv = jax.lax.rsqrt(var + eps) * scales[li][...]
+            # the stash IS the forward chain: act derives from xh with
+            # the same unfused expression every backward (pair stash or
+            # single-scale recompute) uses, so gradients are
+            # bit-identical to the recompute formulation. (The
+            # single-scale fwd kernels fuse (inv·scale) instead — an
+            # ulp-level forward difference the pair tests bound.)
+            xh = (h - mu) * jax.lax.rsqrt(var + eps)
+            xh_refs[li][...] = xh
             act_refs[li][0:rows, 0:w] = jnp.maximum(
-                (h - mu) * inv + biases[li][...], 0.0)
+                xh * scales[li][...] + biases[li][...], 0.0)
         c_last = cs[-1]
         a_last = act_refs[L - 1][0:rows, 0:pk * c_last].reshape(
             ns, m, pk * c_last)
         pooled_ref[...] = jnp.max(a_last, axis=0)
 
 
+def _hits_lanes_of(hits, m, c1, pk):
+    """Broadcast per-stream hit counts into their lane groups."""
+    return jnp.concatenate(
+        [hits[p] * jnp.ones((m, c1), jnp.float32) for p in range(pk)],
+        axis=1)
+
+
 def _pair_bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
                         r2s, nss, css, eps: float, pk: int):
-    """Packed pair backward: shared selection, per-scale recompute +
-    backprop + scatter through shared scratch."""
+    """Packed pair backward from STASHED forward state: selection is
+    re-derived (cheap — one d2 per stream, rank matmuls per scale, all
+    needed by the scatter anyway), but the per-layer xhat tensors and
+    batch variances arrive as kernel inputs from the forward, replacing
+    the gather + MLP-dot + batch-stat recompute that was ~40% of this
+    kernel. Gradients are bit-identical to the recompute formulation
+    (the stash stores the exact expression the recompute produced)."""
     L = len(css[0])
     per_in = 3 * L + 2
     ins = [refs[s * per_in:(s + 1) * per_in] for s in range(2)]
     k = 2 * per_in
     dpooled_refs = refs[k:k + 2]
     k += 2
+    var_ins = [refs[k:k + L], refs[k + L:k + 2 * L]]
+    k += 2 * L
+    xh_ins = [refs[k:k + L], refs[k + L:k + 2 * L]]
+    k += 2 * L
     per_out = 3 * L + 1              # dp1, dcw, dw(L-1), dscale(L), dbias(L)
     outs = [refs[k + s * per_out:k + (s + 1) * per_out] for s in range(2)]
-    scr = refs[k + 2 * per_out:]
-    xhat_refs = scr[:L]
-    d_refs = scr[L:]
+    d_refs = refs[k + 2 * per_out:]
     m = c_ref.shape[1]
 
     ranks, hits = _pair_ranks(xt_ref, sqx_ref, maskf_ref, ut_ref[...],
                               c_ref, r2s, pk)
     for si in range(2):
-        cw_ref, p1cat_ref, row0_ref = ins[si][0:3]
         ws = ins[si][3:3 + L - 1]
         scales = ins[si][3 + L - 1:3 + 2 * L - 1]
         biases = ins[si][3 + 2 * L - 1:3 + 3 * L - 1]
@@ -1140,31 +1168,15 @@ def _pair_bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
         rows = ns * m
         count = jnp.float32(rows)
 
-        hits_lanes = _packed_gather(
-            ranks[si], hits[si], p1cat_ref, cw_ref, row0_ref,
-            xhat_refs[0], ns=ns, c1=c1, m=m, pk=pk)
-
-        mus, invs = [], []
-        a_prev = None
-        for li in range(L):
-            w = pk * cs[li]
-            if li > 0:
-                xhat_refs[li][0:rows, 0:w] = jax.lax.dot(
-                    a_prev.astype(jnp.bfloat16),
-                    ws[li - 1][...].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-            h = xhat_refs[li][0:rows, 0:w]
-            mu, var = _batch_stats(h, count)
-            inv = jax.lax.rsqrt(var + eps)
-            mus.append(mu)
-            invs.append(inv)
-            xhat_refs[li][0:rows, 0:w] = (h - mu) * inv
-            a_prev = jnp.maximum(
-                xhat_refs[li][0:rows, 0:w] * scales[li][...]
-                + biases[li][...], 0.0)
+        hits_lanes = _hits_lanes_of(hits[si], m, c1, pk)
+        invs = [jax.lax.rsqrt(var_ins[si][li][...] + eps)
+                for li in range(L)]
 
         c_last = cs[-1]
-        a3 = a_prev.reshape(ns, m, pk * c_last)
+        a_last = jnp.maximum(
+            xh_ins[si][L - 1][...] * scales[L - 1][...]
+            + biases[L - 1][...], 0.0)
+        a3 = a_last.reshape(ns, m, pk * c_last)
         pooled = jnp.max(a3, axis=0)
         ties = (a3 == pooled[None]).astype(jnp.float32)
         cnt = jnp.sum(ties, axis=0)
@@ -1174,7 +1186,7 @@ def _pair_bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
 
         for li in range(L - 1, -1, -1):
             w = pk * cs[li]
-            xhat = xhat_refs[li][0:rows, 0:w]
+            xhat = xh_ins[si][li][...]
             z = xhat * scales[li][...] + biases[li][...]
             dz = d_refs[li][0:rows, 0:w] * (z > 0.0).astype(jnp.float32)
             dscale_refs[li][...] = jnp.sum(dz * xhat, axis=0,
@@ -1188,7 +1200,7 @@ def _pair_bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
             if li > 0:
                 w_prev = pk * cs[li - 1]
                 a_lm1 = jnp.maximum(
-                    xhat_refs[li - 1][0:rows, 0:w_prev]
+                    xh_ins[si][li - 1][...]
                     * scales[li - 1][...] + biases[li - 1][...], 0.0)
                 dw_refs[li - 1][...] = jax.lax.dot_general(
                     a_lm1.astype(jnp.bfloat16), dh.astype(jnp.bfloat16),
@@ -1269,8 +1281,11 @@ def _pick_pk_pair(b: int, cs_a: tuple, cs_b: tuple, n: int, m: int,
            for ca, cb in zip(cs_a, cs_b)):
         return 1
     rows = max(ns_a, ns_b) * m
-    scratch = 2 * rows * pk * sum(max(ca, cb)
-                                  for ca, cb in zip(cs_a, cs_b)) * 4
+    # d-cotangent scratch + the stashed-xhat input blocks (both scales
+    # resident per grid step; the backward no longer recomputes)
+    scratch = (rows * pk * sum(max(ca, cb)
+                               for ca, cb in zip(cs_a, cs_b)) * 4
+               + (ns_a * m * sum(cs_a) + ns_b * m * sum(cs_b)) * pk * 4)
     aux = (2 * pk * m * n * 4                       # two ranks per stream
            + pk * n * n * 4                         # d2 temporaries
            + 2 * pk * n * 3 * cs_a[0] * 2           # both scales' p1cat
@@ -1341,14 +1356,18 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
         kernel = functools.partial(_pair_fwd_kernel_pk, r2s=r2s, nss=nss,
                                    css=css, eps=eps, pk=pk)
         out_shape, out_specs = [], []
-        for cs in css:
+        for cs, ns_s in zip(css, nss):
             out_shape += ([jax.ShapeDtypeStruct((bg, m, pk * cs[-1]),
                                                 jnp.float32)]
                           + [jax.ShapeDtypeStruct((bg, 1, pk * ci),
                                                   jnp.float32)
-                             for ci in cs] * 2)
+                             for ci in cs] * 2
+                          + [jax.ShapeDtypeStruct(
+                              (bg, ns_s * m, pk * ci), jnp.float32)
+                             for ci in cs])
             out_specs += ([_stream(m, pk * cs[-1])]
-                          + [_stream(1, pk * ci) for ci in cs] * 2)
+                          + [_stream(1, pk * ci) for ci in cs] * 2
+                          + [_stream(ns_s * m, pk * ci) for ci in cs])
         in_specs = ([_stream(pk, 3, n), _stream(pk, 1, n),
                      _stream(pk, 1, n), _full(), _stream(pk, m, 3)]
                     + ([_stream(pk, m, c1), _stream(pk, n, 3 * c1),
@@ -1368,7 +1387,8 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
           *sc_a, *wbda, *scpa, *bspa,
           *sc_b, *wbdb, *scpb, *bspb)
         res = []
-        per = 1 + 2 * L
+        xhs = []
+        per = 1 + 3 * L
         for si, cs in enumerate(css):
             o = outs[si * per:(si + 1) * per]
             pooled = o[0].reshape(bg, m, pk, cs[-1]).transpose(
@@ -1376,12 +1396,18 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
             mus = tuple(x.reshape(b, ci)
                         for x, ci in zip(o[1:1 + L], cs))
             vrs = tuple(x.reshape(b, ci)
-                        for x, ci in zip(o[1 + L:], cs))
+                        for x, ci in zip(o[1 + L:1 + 2 * L], cs))
             res += [pooled, mus, vrs]
-        return tuple(res)
+            # the xhat stash stays in its packed (bg, rows, pk·c) layout:
+            # it exists only to round-trip to the backward kernel, which
+            # reads the same layout (unpacking would cost lane shuffles
+            # over ~GBs per step)
+            xhs.append(tuple(o[1 + 2 * L:]))
+        return tuple(res) + (xhs[0], xhs[1])
 
     def _run_pair_bwd_pk(b, pk, xtb, sqxb, maskfb, cb, p1a, cwa, p1b,
-                         cwb, wsa, sca, bia, wsb, scb, bib, dpa, dpb):
+                         cwb, wsa, sca, bia, wsb, scb, bib, dpa, dpb,
+                         vra, vrb, xha, xhb):
         bg = b // pk
         ut = jnp.triu(jnp.ones((n, n), jnp.bfloat16))
         shared = _shared_streams(pk, bg, xtb, sqxb, maskfb, cb)
@@ -1393,6 +1419,10 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
         for dp, cs in zip((dpa, dpb), css):
             dpooled.append(dp.reshape(bg, pk, m, cs[-1]).transpose(
                 0, 2, 1, 3).reshape(bg, m, pk * cs[-1]))
+        # per-stream (b, ci) variances repack losslessly to lane groups
+        varp = [tuple(v.reshape(bg, 1, pk * ci) for v, ci in
+                      zip(vs, cs))
+                for vs, cs in zip((vra, vrb), css)]
         kernel = functools.partial(_pair_bwd_kernel_pk, r2s=r2s, nss=nss,
                                    css=css, eps=eps, pk=pk)
         out_shape, out_specs = [], []
@@ -1415,7 +1445,11 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
                         _stream(pk, 1, c1)]
                        + [_full()] * (3 * L - 1)) * 2
                     + [_stream(m, pk * csa[-1]),
-                       _stream(m, pk * csb[-1])])
+                       _stream(m, pk * csb[-1])]
+                    + [_stream(1, pk * ci) for ci in csa]
+                    + [_stream(1, pk * ci) for ci in csb]
+                    + [_stream(nsa * m, pk * ci) for ci in csa]
+                    + [_stream(nsb * m, pk * ci) for ci in csb])
         outs = pl.pallas_call(
             kernel,
             grid=(bg,),
@@ -1423,12 +1457,13 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             scratch_shapes=[pltpu.VMEM((rows_max, pk * ci), jnp.float32)
-                            for ci in cmax] * 2,
+                            for ci in cmax],
             compiler_params=params,
             interpret=interpret,
         )(*shared[:3], ut, shared[3],
           *sc_a, *wbda, *scpa, *bspa,
-          *sc_b, *wbdb, *scpb, *bspb, *dpooled)
+          *sc_b, *wbdb, *scpb, *bspb, *dpooled,
+          *varp[0], *varp[1], *xha, *xhb)
         res = []
         pos = 0
         for cs, ws in zip(css, (wsa, wsb)):
@@ -1454,12 +1489,20 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
     def _bcast(x, batched, b):
         return x if batched else jnp.broadcast_to(x[None], (b,) + x.shape)
 
+    def _zero_xhats(bg, pk):
+        """Placeholder stash for paths whose backward recomputes (the
+        single-scale fallbacks emit no xhat)."""
+        return (tuple(jnp.zeros((bg, nsa * m, pk * ci), jnp.float32)
+                      for ci in csa),
+                tuple(jnp.zeros((bg, nsb * m, pk * ci), jnp.float32)
+                      for ci in csb))
+
     @jax.custom_batching.custom_vmap
     def fwd_call(xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia,
                  wsb, scb, bib):
         oa = core_a._fwd_call(xt, sqx, maskf, c, p1a, cwa, wsa, sca, bia)
         ob = core_b._fwd_call(xt, sqx, maskf, c, p1b, cwb, wsb, scb, bib)
-        return oa + ob
+        return oa + ob + _zero_xhats(1, 1)
 
     @fwd_call.def_vmap
     def _fwd_vmap(axis_size, in_batched, xt, sqx, maskf, c, p1a, cwa,
@@ -1483,13 +1526,17 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
                           core_b._fwd_call(x1, x2, x3, x4, x5, x6,
                                            wsb, scb, bib))(
                 *args[:4], *args[6:8])
-            outs = oa + ob
+            outs = oa + ob + _zero_xhats(1, 1)
         bt = (True, (True,) * L, (True,) * L)
-        return outs, bt + bt
+        # the xhat stash keeps its packed (bg, rows, pk·c) layout with NO
+        # mapped axis (batched=False): its only consumer is bwd_call,
+        # whose kernel reads the same layout — unpacking to a per-stream
+        # b axis would shuffle ~GBs of lanes per step for nothing
+        return outs, bt + bt + ((False,) * L, (False,) * L)
 
     @jax.custom_batching.custom_vmap
     def bwd_call(xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia,
-                 wsb, scb, bib, dpa, dpb):
+                 wsb, scb, bib, dpa, dpb, vra, vrb, xha, xhb):
         ga = core_a._bwd_call(xt, sqx, maskf, c, p1a, cwa, wsa, sca,
                               bia, dpa)
         gb = core_b._bwd_call(xt, sqx, maskf, c, p1b, cwb, wsb, scb,
@@ -1498,7 +1545,8 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
 
     @bwd_call.def_vmap
     def _bwd_vmap(axis_size, in_batched, xt, sqx, maskf, c, p1a, cwa,
-                  p1b, cwb, wsa, sca, bia, wsb, scb, bib, dpa, dpb):
+                  p1b, cwb, wsa, sca, bia, wsb, scb, bib, dpa, dpb,
+                  vra, vrb, xha, xhb):
         if any(jax.tree_util.tree_leaves(in_batched[8:14])):
             raise NotImplementedError(
                 "fused SA pair train kernel: vmap over MLP parameters")
@@ -1511,7 +1559,8 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
         pk = _pick_pk_pair(b, csa, csb, n, m, nsa, nsb)
         if pk > 1:
             outs = _run_pair_bwd_pk(b, pk, *args, wsa, sca, bia,
-                                    wsb, scb, bib, dpa_b, dpb_b)
+                                    wsb, scb, bib, dpa_b, dpb_b,
+                                    vra, vrb, xha, xhb)
         else:
             ga = jax.vmap(lambda x1, x2, x3, x4, x5, x6, dp:
                           core_a._bwd_call(x1, x2, x3, x4, x5, x6,
@@ -1529,23 +1578,26 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
     def pair_core(xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia,
                   wsb, scb, bib):
         return fwd_call(xt, sqx, maskf, c, p1a, cwa, p1b, cwb,
-                        wsa, sca, bia, wsb, scb, bib)
+                        wsa, sca, bia, wsb, scb, bib)[:6]
 
     def pair_fwd(xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia,
                  wsb, scb, bib):
         out = fwd_call(xt, sqx, maskf, c, p1a, cwa, p1b, cwb,
                        wsa, sca, bia, wsb, scb, bib)
-        return out, (xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca,
-                     bia, wsb, scb, bib)
+        # residuals carry the batch variances + packed xhat stash for
+        # the recompute-free backward
+        return out[:6], (xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa,
+                         sca, bia, wsb, scb, bib, out[2], out[5],
+                         out[6], out[7])
 
     def pair_bwd(res, cots):
         (xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia, wsb,
-         scb, bib) = res
+         scb, bib, vra, vrb, xha, xhb) = res
         dpa, _ma, _va, dpb, _mb, _vb = cots
         (dp1a, dcwa, dwsa, dscaa, dbiaa,
          dp1b, dcwb, dwsb, dscab, dbiab) = bwd_call(
             xt, sqx, maskf, c, p1a, cwa, p1b, cwb, wsa, sca, bia,
-            wsb, scb, bib, dpa, dpb)
+            wsb, scb, bib, dpa, dpb, vra, vrb, xha, xhb)
         return (jnp.zeros_like(xt), jnp.zeros_like(sqx),
                 jnp.zeros_like(maskf), jnp.zeros_like(c),
                 dp1a, dcwa, dp1b, dcwb, dwsa, dscaa, dbiaa,

@@ -223,13 +223,18 @@ def test_pair_vs_singles(mlp_a, mlp_b, ns_a, ns_b, b, want_pk):
     """Radius-pair kernel ≡ two single-scale kernels.
 
     The pair shares selection (identical expressions) and runs the same
-    per-scale op sequence; measured BIT-EXACT against the singles on the
-    real TPU. On CPU interpret, the smaller scale's batch-stat reductions
-    read a row-slice of the shared (larger) scratch buffer and XLA CPU
-    reassociates the sliced reduce → ulp-level stat drift that the BN
-    rsqrt amplifies on near-zero variances (measured ≤ 2.3e-3 scaled on
-    pooled, ≤ 2.3e-7 relative on grads) — the same class as the
-    documented pk>1 reassociation bounds."""
+    per-scale op sequence. On the real TPU the GRADIENTS are measured
+    bit-identical (the backward consumes the forward's xhat stash —
+    the exact expression the single-scale backward recomputes) while
+    the forward differs by ulps: the pair fwd derives activations from
+    the stash (unfused (h−mu)·inv then ·scale) where the single-scale
+    fwd fuses (inv·scale) — measured loss deltas ≤ 3e-6 relative. On
+    CPU interpret, the smaller scale's batch-stat reductions addition-
+    ally read a row-slice of the shared (larger) scratch buffer and XLA
+    CPU reassociates the sliced reduce → ulp-level stat drift that the
+    BN rsqrt amplifies on near-zero variances (measured ≤ 2.3e-3
+    scaled on pooled) — the same class as the documented pk>1
+    reassociation bounds."""
     from ratrack_tpu.ops.pallas_sa_train import (fused_sa_pair_train,
                                                  _pick_pk_pair)
 

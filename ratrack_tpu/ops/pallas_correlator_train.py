@@ -27,11 +27,18 @@ custom_vmap exactly as in ops/pallas_sa_train.py):
     stage 2: the raw slots;
   * WeightNet: 3 biased ReLU layers on the (k·N, 3) directions;
   * out = Σ_s mlp_s ⊙ wn_s;
-  * backward: recompute, then backprop the product, the two chains
-    (leaky' from post-activation sign — leaky preserves sign; relu'
-    likewise), scatter d_slots to d_feats_p with single-pass bf16
-    one-hot transposes (cotangent truncation, same class), route d_dirs
-    — WeightNet chain plus the layer-1 dz0 @ W_dirᵀ term — to d_points
+  * backward: consumes the forward's STASHED state (selection ids,
+    directions, the MLP-chain input h0 = a0|slots, and every MLP
+    post-activation — the same lever that cleared the SA stack's
+    recompute, which here was ~45% of the backward kernel); only the
+    cheap 3-narrow-dot WeightNet chain is re-run from the stashed
+    directions. Gradients are bit-identical to the recompute
+    formulation (the stash stores the exact values the recompute
+    produced). Then backprop the product, the two chains (leaky' from
+    post-activation sign — leaky preserves sign; relu' likewise),
+    scatter d_slots to d_feats_p with single-pass bf16 one-hot
+    transposes (cotangent truncation, same class), route d_dirs —
+    WeightNet chain plus the layer-1 dz0 @ W_dirᵀ term — to d_points
     (exact scatter) and d_query (−Σ), and emit dW_dir.
     Selection gets no gradient (integer indices, as in the reference's
     CUDA ops).
@@ -145,7 +152,9 @@ def _fwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
                 addq_ref, wdir_ref, *refs, k: int, n_mlp: int, c: int,
                 has_add: bool):
     w_refs = refs[:2 * (n_mlp + 3)]
-    out_ref, ids_ref, slots_ref, dirs_ref = refs[2 * (n_mlp + 3):]
+    rest = refs[2 * (n_mlp + 3):]
+    out_ref, ids_ref, dirs_ref, h0_ref = rest[:4]
+    act_refs = rest[4:4 + n_mlp]
     q = q_ref[...]
     tm = q.shape[0]
     m_pts = xpt_ref.shape[1]
@@ -155,21 +164,31 @@ def _fwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
     # passes otherwise re-run there); exact in f32 (ids < N)
     for s in range(k):
         ids_ref[s * tm:(s + 1) * tm, :] = ids[s]
+    # gathers go straight into the stash refs: h0 starts as the raw
+    # slots, dirs are emitted for the backward's WeightNet/scatter use
     _gather_all(_ids_list_reader(ids), featsp_ref[...], xpt_ref[...].T,
-                q, k, c, tm, m_pts, slots_ref, dirs_ref)
+                q, k, c, tm, m_pts, h0_ref, dirs_ref)
 
-    h2d = slots_ref[...]
     if has_add:
         # layer-1 coordinate term from the EXACT directions: the
         # absolute-coordinate cancellation never touches the bf16
         # feature gather (see module docstring)
-        h2d = _leaky(h2d + jnp.broadcast_to(
+        h0_ref[...] = _leaky(h0_ref[...] + jnp.broadcast_to(
             addq_ref[...][None], (k, tm, c)).reshape(k * tm, c)
             + jax.lax.dot(dirs_ref[...], wdir_ref[...],
                           precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32))
-    macts = _mlp_chain(h2d, w_refs, 0, n_mlp, _leaky)
-    h_last = macts[-1] if macts else h2d
+    # h0 now holds the MLP-chain input (a0 when has_add, raw slots
+    # otherwise); each post-activation is stashed for the backward
+    h2d = h0_ref[...]
+    for li in range(n_mlp):
+        w = w_refs[2 * li][...]
+        b = w_refs[2 * li + 1][...]
+        act_refs[li][...] = _leaky(
+            jax.lax.dot(h2d.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + b)
+        h2d = act_refs[li][...]
+    h_last = h2d
     wacts = _mlp_chain(dirs_ref[...], w_refs, n_mlp, 3,
                        lambda x: jnp.maximum(x, 0.0))
     c_out = h_last.shape[-1]
@@ -181,46 +200,30 @@ def _bwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
                 addq_ref, wdir_ref, *refs, k: int, n_mlp: int, c: int,
                 has_add: bool):
     w_refs = refs[:2 * (n_mlp + 3)]
-    dout_ref = refs[2 * (n_mlp + 3)]
-    ids_ref = refs[2 * (n_mlp + 3) + 1]
-    outs = refs[2 * (n_mlp + 3) + 2:]
+    rest = refs[2 * (n_mlp + 3):]
+    dout_ref, ids_ref, dirs_ref, h0_ref = rest[:4]
+    act_refs = rest[4:4 + n_mlp]         # STASHED mlp post-activations
+    outs = rest[4 + n_mlp:]
     # outputs: dfeatsp, daddq, dq, dpoints, dwdir, (dw, db) × (n_mlp+3)
     dfeatsp_ref, daddq_ref, dq_ref, dpts_ref, dwdir_ref = outs[:5]
     dw_refs = outs[5:]
     scr = dw_refs[2 * (n_mlp + 3):]
     dw_refs = dw_refs[:2 * (n_mlp + 3)]
-    slots_ref, dirs_ref = scr[0], scr[1]
-    act_refs = scr[2:2 + n_mlp]          # mlp post-activations
-    d_ref = scr[2 + n_mlp]               # (k·TM, C) cotangent ping
-    wn_refs = scr[3 + n_mlp:]            # 3 weightnet post-activations
+    d_ref = scr[0]                       # (k·TM, C) cotangent ping
+    wn_refs = scr[1:]                    # 3 weightnet post-activations
 
-    q = q_ref[...]
-    tm = q.shape[0]
+    tm = q_ref.shape[0]
     m_pts = xpt_ref.shape[1]
 
-    # ---- forward recompute from the STASHED selection -------------------
-    # (the fwd kernel emitted its k min-extraction results; re-running
-    # them here was ~9% of this kernel)
+    # ---- forward state arrives STASHED from the fwd kernel --------------
+    # (selection ids, directions, the MLP-chain input h0 = a0|slots and
+    # every MLP post-activation — the gather + layer-1 + MLP-dot
+    # recompute they replace was ~45% of this kernel). Only the cheap
+    # WeightNet chain is re-run, from the stashed directions: three
+    # narrow dots against ~17 MB/stream of extra stash DMA.
     idcol_of = _ids_block_reader(ids_ref, tm)
-    _gather_all(idcol_of, featsp_ref[...], xpt_ref[...].T, q, k, c, tm,
-                m_pts, slots_ref, dirs_ref)
-    if has_add:
-        a0 = _leaky(slots_ref[...] + jnp.broadcast_to(
-            addq_ref[...][None], (k, tm, c)).reshape(k * tm, c)
-            + jax.lax.dot(dirs_ref[...], wdir_ref[...],
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32))
-    else:
-        a0 = slots_ref[...]
-    h = a0
-    for li in range(n_mlp):
-        w = w_refs[2 * li][...]
-        b = w_refs[2 * li + 1][...]
-        h = _leaky(jax.lax.dot(h.astype(jnp.bfloat16),
-                               w.astype(jnp.bfloat16),
-                               preferred_element_type=jnp.float32) + b)
-        act_refs[li][...] = h
-    h_last = h
+    a0 = h0_ref[...]
+    h_last = act_refs[n_mlp - 1][...] if n_mlp else a0
     d = dirs_ref[...]
     for li in range(3):
         w = w_refs[2 * (n_mlp + li)][...]
@@ -322,6 +325,9 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
         vmem_limit_bytes=_VMEM_LIMIT,
         dimension_semantics=("arbitrary",))
     n_wb = n_mlp + 3
+    # w_shapes has ONE entry per (w, b) layer pair
+    wn_dims = [w_shapes[n_mlp + i][1] for i in range(3)]
+    mlp_dims = [w_shapes[i][1] for i in range(n_mlp)]
 
     def _stream(*shape):
         nd = len(shape)
@@ -338,21 +344,31 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
                      _stream(n, c if has_add else 1),
                      _stream(3, c if has_add else 1)]
                     + [_full()] * (2 * n_wb))
-        return pl.pallas_call(
+        # stash outputs for the recompute-free backward: selection ids,
+        # directions, the MLP-chain input h0 (a0|raw slots) and each MLP
+        # post-activation
+        out_specs = ([_stream(n, c_out), _stream(k * n, 1),
+                      _stream(k * n, 3), _stream(k * n, c)]
+                     + [_stream(k * n, d) for d in mlp_dims])
+        out_shape = ([jax.ShapeDtypeStruct((b, n, c_out), jnp.float32),
+                      jax.ShapeDtypeStruct((b, k * n, 1), jnp.float32),
+                      jax.ShapeDtypeStruct((b, k * n, 3), jnp.float32),
+                      jax.ShapeDtypeStruct((b, k * n, c), jnp.float32)]
+                     + [jax.ShapeDtypeStruct((b, k * n, d), jnp.float32)
+                        for d in mlp_dims])
+        outs = pl.pallas_call(
             kernel,
             grid=(b,),
             in_specs=in_specs,
-            out_specs=(_stream(n, c_out), _stream(k * n, 1)),
-            out_shape=(jax.ShapeDtypeStruct((b, n, c_out), jnp.float32),
-                       jax.ShapeDtypeStruct((b, k * n, 1), jnp.float32)),
-            scratch_shapes=[pltpu.VMEM((k * n, c), jnp.float32),
-                            pltpu.VMEM((k * n, 3), jnp.float32)],
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             compiler_params=params,
             interpret=interpret,
         )(xptb, sqpb, maskfb, qb, featspb, addqb, wdirb, *wbs)
+        return outs[0], outs[1], outs[2], outs[3], tuple(outs[4:])
 
     def _run_bwd(b, xptb, sqpb, maskfb, qb, featspb, addqb, wdirb,
-                 wbs, doutb, idsb):
+                 wbs, doutb, idsb, dirsb, h0b, actsb):
         kernel = functools.partial(_bwd_kernel, k=k, n_mlp=n_mlp, c=c,
                                    has_add=has_add)
         in_specs = ([_stream(3, m), _stream(1, m), _stream(1, m),
@@ -360,10 +376,9 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
                      _stream(n, c if has_add else 1),
                      _stream(3, c if has_add else 1)]
                     + [_full()] * (2 * n_wb)
-                    + [_stream(n, c_out), _stream(k * n, 1)])
-        # w_shapes has ONE entry per (w, b) layer pair
-        wn_dims = [w_shapes[n_mlp + i][1] for i in range(3)]
-        mlp_dims = [w_shapes[i][1] for i in range(n_mlp)]
+                    + [_stream(n, c_out), _stream(k * n, 1),
+                       _stream(k * n, 3), _stream(k * n, c)]
+                    + [_stream(k * n, d) for d in mlp_dims])
         out_shape = (
             [jax.ShapeDtypeStruct((b, m, c), jnp.float32),    # dfeatsp
              jax.ShapeDtypeStruct((b, n, c), jnp.float32),    # daddq
@@ -386,17 +401,13 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             scratch_shapes=(
-                [pltpu.VMEM((k * n, c), jnp.float32),      # slots
-                 pltpu.VMEM((k * n, 3), jnp.float32)]      # dirs
-                + [pltpu.VMEM((k * n, d), jnp.float32)
-                   for d in mlp_dims]                      # mlp acts
-                + [pltpu.VMEM((k * n, c), jnp.float32)]    # dz0 park
+                [pltpu.VMEM((k * n, c), jnp.float32)]      # dz0 park
                 + [pltpu.VMEM((k * n, d), jnp.float32)
                    for d in wn_dims]),                     # wn acts
             compiler_params=params,
             interpret=interpret,
         )(xptb, sqpb, maskfb, qb, featspb, addqb, wdirb, *wbs, doutb,
-          idsb)
+          idsb, dirsb, h0b, *actsb)
         dfeatsp, daddq, dq, dpts, dwdir = outs[:5]
         dwb = outs[5:]
         return dfeatsp, daddq, dq, dpts, dwdir, tuple(dwb)
@@ -410,10 +421,10 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
 
     @jax.custom_batching.custom_vmap
     def fwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs):
-        out, ids = _run_fwd(1, xpt[None], sqp[None], maskf[None],
-                            qx[None], _prep(1, featsp[None]),
-                            addq[None], wdir[None], wbs)
-        return out[0], ids[0]
+        outs = _run_fwd(1, xpt[None], sqp[None], maskf[None],
+                        qx[None], _prep(1, featsp[None]),
+                        addq[None], wdir[None], wbs)
+        return jax.tree_util.tree_map(lambda x: x[0], outs)
 
     @fwd_call.def_vmap
     def _fwd_vmap(axis_size, in_batched, xpt, sqp, maskf, qx, featsp,
@@ -424,21 +435,22 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
         args = [_bcast(x, bt, b) for x, bt in
                 zip((xpt, sqp, maskf, qx, featsp, addq, wdir),
                     in_batched[:7])]
-        out, ids = _run_fwd(b, args[0], args[1], args[2], args[3],
-                            _prep(b, args[4]), args[5], args[6], wbs)
-        return (out, ids), (True, True)
+        outs = _run_fwd(b, args[0], args[1], args[2], args[3],
+                        _prep(b, args[4]), args[5], args[6], wbs)
+        return outs, jax.tree_util.tree_map(lambda _: True, outs)
 
     @jax.custom_batching.custom_vmap
     def bwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, dout,
-                 ids):
+                 ids, dirs, h0, acts):
         outs = _run_bwd(1, xpt[None], sqp[None], maskf[None], qx[None],
                         _prep(1, featsp[None]), addq[None], wdir[None],
-                        wbs, dout[None], ids[None])
+                        wbs, dout[None], ids[None], dirs[None],
+                        h0[None], tuple(a[None] for a in acts))
         return jax.tree_util.tree_map(lambda x: x[0], outs)
 
     @bwd_call.def_vmap
     def _bwd_vmap(axis_size, in_batched, xpt, sqp, maskf, qx, featsp,
-                  addq, wdir, wbs, dout, ids):
+                  addq, wdir, wbs, dout, ids, dirs, h0, acts):
         if any(jax.tree_util.tree_leaves(in_batched[7])):
             raise NotImplementedError("vmap over correlator params")
         b = axis_size
@@ -447,27 +459,33 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
                     in_batched[:7])]
         doutb = _bcast(dout, in_batched[8], b)
         idsb = _bcast(ids, in_batched[9], b)
+        dirsb = _bcast(dirs, in_batched[10], b)
+        h0b = _bcast(h0, in_batched[11], b)
+        actsb = tuple(_bcast(a, bt, b) for a, bt in
+                      zip(acts, in_batched[12]))
         outs = _run_bwd(b, args[0], args[1], args[2], args[3],
                         _prep(b, args[4]), args[5], args[6], wbs,
-                        doutb, idsb)
+                        doutb, idsb, dirsb, h0b, actsb)
         batched = jax.tree_util.tree_map(lambda _: True, outs)
         return outs, batched
 
     @jax.custom_vjp
     def core(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs):
-        out, _ids = fwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir,
-                             wbs)
-        return out
+        return fwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir,
+                        wbs)[0]
 
     def core_fwd(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs):
-        out, ids = fwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir,
-                            wbs)
-        return out, (xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, ids)
+        out, ids, dirs, h0, acts = fwd_call(xpt, sqp, maskf, qx,
+                                            featsp, addq, wdir, wbs)
+        return out, (xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, ids,
+                     dirs, h0, acts)
 
     def core_bwd(res, dout):
-        xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, ids = res
+        (xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, ids, dirs, h0,
+         acts) = res
         dfeatsp, daddq, dq, dpts, dwdir, dwb = bwd_call(
-            xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, dout, ids)
+            xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, dout, ids,
+            dirs, h0, acts)
         # dpoints arrives per-point; xpt is its transpose
         return (dpts.T, jnp.zeros_like(sqp), jnp.zeros_like(maskf),
                 dq, dfeatsp,

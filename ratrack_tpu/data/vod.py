@@ -204,12 +204,42 @@ class Transforms:
         return self.t_radar_camera @ self.t_camera_lidar
 
     @cached_property
-    def t_odom_camera(self) -> np.ndarray:
+    def _pose_rows(self) -> List[dict]:
+        """The pose file is json-lines: row 0 odom, row 1 map, row 2 UTM
+        (reference transformations.py:260-281)."""
         p = os.path.join(self.frame.loc.pose_dir,
                          f"{self.frame.frame_number}.json")
-        rows = [json.loads(line) for line in open(p)]
-        return np.array(rows[0]["odomToCamera"],
-                        np.float32).reshape(4, 4)
+        return [json.loads(line) for line in open(p)]
+
+    def _pose(self, row: int, key: str) -> np.ndarray:
+        return np.array(self._pose_rows[row][key], np.float32).reshape(4, 4)
+
+    @cached_property
+    def t_odom_camera(self) -> np.ndarray:
+        return self._pose(0, "odomToCamera")
+
+    @cached_property
+    def t_map_camera(self) -> np.ndarray:
+        return self._pose(1, "mapToCamera")
+
+    @cached_property
+    def t_utm_camera(self) -> np.ndarray:
+        return self._pose(2, "UTMToCamera")
+
+    # World transforms carry km-scale translations (map ~1e3 m, UTM ~1e5 m);
+    # float32 inversion leaves ~1e-4..1e-1 m of error there, so these three
+    # inverses are computed in float64.
+    @cached_property
+    def t_camera_odom(self):
+        return np.linalg.inv(self.t_odom_camera.astype(np.float64))
+
+    @cached_property
+    def t_camera_map(self):
+        return np.linalg.inv(self.t_map_camera.astype(np.float64))
+
+    @cached_property
+    def t_camera_utm(self):
+        return np.linalg.inv(self.t_utm_camera.astype(np.float64))
 
 
 def transform_points(points: np.ndarray, t: np.ndarray) -> np.ndarray:

@@ -21,12 +21,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..config import Config
 from ..data.pipeline import VodTrackStream
+from ..data.vod import ego_motion_radar
 from .export import parse_frame_results
 from .kalman import BoxDet, KalmanTracker
 from .mot_metrics import (integrated_mot, namespace_ids,
@@ -50,20 +51,50 @@ def dets_from_points(preds) -> List[Tuple[int, BoxDet]]:
     return dets
 
 
+def clip_ego_motions(stream: VodTrackStream,
+                     frame_numbers: List[int]) -> List:
+    """Per-frame radar-frame ego transforms for `retrack_clip`.
+
+    Entry i maps radar coordinates of frame i−1 into frame i via
+    KalmanTracker's inv(T)·p (T = ego_motion_radar(prev, cur), the
+    reference pose algebra from AB3DMOT_libs/model.py:221-223 applied in
+    the radar frame the result dumps live in — the vendored tracker works
+    in camera coordinates, model.py:228-246). Entry 0 is None (no previous
+    frame, mirroring the vendored `frame > 0` gate, model.py:489-492), as
+    is any entry whose pose/calib file is missing (the vendored code
+    scans forward for a readable pose pair, model.py:209-225; skipping
+    compensation for that frame is the deterministic equivalent).
+    """
+    egos: List = [None]
+    for prev, cur in zip(frame_numbers, frame_numbers[1:]):
+        try:
+            tr0 = stream._load_frame(prev)[1]
+            tr1 = stream._load_frame(cur)[1]
+            egos.append(ego_motion_radar(tr0, tr1))
+        except (FileNotFoundError, ValueError, IndexError, KeyError):
+            egos.append(None)
+    return egos
+
+
 def retrack_clip(frames: List[PredFrame], min_hits: int,
-                 max_age: int, match_dist: float) -> List[PredFrame]:
+                 max_age: int, match_dist: float,
+                 ego_motions: Optional[List] = None) -> List[PredFrame]:
     """Replace per-frame track ids with Kalman-tracker ids.
 
     Detections the KF has not yet confirmed (hits < min_hits) are dropped,
     mirroring AB3DMOT's output lifecycle. Each original point set is
     claimed by at most one tracker output (nearest unclaimed centroid).
+    `ego_motions` (optional, aligned with `frames`) enables the vendored
+    preset's ego compensation of predicted track positions
+    (model.py:489-492).
     """
     trk = KalmanTracker(match_dist=match_dist, min_hits=min_hits,
                         max_age=max_age)
     out: List[PredFrame] = []
-    for preds in frames:
+    for fi, preds in enumerate(frames):
         indexed = dets_from_points(preds)
-        tracked = trk.track([d for _, d in indexed])
+        ego = ego_motions[fi] if ego_motions else None
+        tracked = trk.track([d for _, d in indexed], ego_motion=ego)
         frame_out: PredFrame = []
         claimed: set = set()
         for tid, box, conf in tracked:
@@ -84,7 +115,8 @@ def retrack_clip(frames: List[PredFrame], min_hits: int,
 def evaluate_kf(results_dir: str, dataset_path: str, split: str = "val",
                 iou_thres: float = 0.25, min_obj_points: int = 2,
                 min_hits: int = 4, max_age: int = 8,
-                match_dist: float = 2.0) -> Dict[str, float]:
+                match_dist: float = 2.0,
+                ego_comp: bool = False) -> Dict[str, float]:
     cfg = Config(dataset_path=dataset_path, min_obj_points=min_obj_points)
     stream = VodTrackStream(cfg, split=split)
     gt_all: List[GTFrame] = []
@@ -93,7 +125,7 @@ def evaluate_kf(results_dir: str, dataset_path: str, split: str = "val",
         clip_dir = os.path.join(results_dir, clip)
         if not os.path.isdir(clip_dir):
             continue
-        gts, preds = [], []
+        gts, preds, frame_numbers = [], [], []
         for name in sorted(os.listdir(clip_dir)):
             if not name.endswith(".txt"):
                 continue
@@ -102,8 +134,10 @@ def evaluate_kf(results_dir: str, dataset_path: str, split: str = "val",
             except (FileNotFoundError, ValueError, IndexError):
                 continue
             gts.append(g)
+            frame_numbers.append(int(name[:-4]))
             preds.append(parse_frame_results(os.path.join(clip_dir, name)))
-        tracked = retrack_clip(preds, min_hits, max_age, match_dist)
+        egos = clip_ego_motions(stream, frame_numbers) if ego_comp else None
+        tracked = retrack_clip(preds, min_hits, max_age, match_dist, egos)
         gts, tracked = namespace_ids(gts, tracked, ci)
         gt_all.extend(gts)
         pred_all.extend(tracked)
@@ -122,11 +156,15 @@ def main(argv=None):
     p.add_argument("--min-hits", type=int, default=4)
     p.add_argument("--max-age", type=int, default=8)
     p.add_argument("--match-dist", type=float, default=2.0)
+    p.add_argument("--ego-comp", action="store_true",
+                   help="compensate predicted track positions with the "
+                        "per-frame radar ego motion (vendored preset "
+                        "behavior, model.py:489-492)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
     m = evaluate_kf(args.results, args.dataset, args.split, args.iou,
                     args.min_obj_points, args.min_hits, args.max_age,
-                    args.match_dist)
+                    args.match_dist, args.ego_comp)
     if args.json:
         print(json.dumps({k: v for k, v in m.items()
                           if not isinstance(v, dict)}))

@@ -242,6 +242,20 @@ class TestOfflineEvalEndToEnd:
         table = format_table(m)
         assert "SAMOTA" in table and "100.00" in table
 
+        # KF CLI with --ego-comp: the fixture's poses are identity
+        # (stationary ego), so compensation must load real pose files,
+        # apply cleanly, and change nothing vs the uncompensated run.
+        from ratrack_tpu.eval.run_kf import clip_ego_motions, evaluate_kf
+        egos = clip_ego_motions(stream, list(frames)[1:])
+        assert egos[0] is None and len(egos) == 7
+        for e in egos[1:]:
+            np.testing.assert_allclose(e, np.eye(4), atol=1e-6)
+        m_plain = evaluate_kf(results, root, split="val", min_hits=1)
+        m_ego = evaluate_kf(results, root, split="val", min_hits=1,
+                            ego_comp=True)
+        assert m_ego["samota"] == pytest.approx(m_plain["samota"])
+        assert m_ego["idsw"] == m_plain["idsw"]
+
 
 class TestKalmanRetrack:
     def test_retrack_relabels_consistently(self):

@@ -157,6 +157,45 @@ class TestExampleSetTransforms:
         r = oracle[:3, :3]
         np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
 
+    @pytest.mark.parametrize("frame", FRAMES)
+    def test_world_pose_rows_match_raw_json(self, loc, frame):
+        # oracle: devkit get_world_transform row order (row 1 map, row 2
+        # UTM — transformations.py:260-281)
+        with open(os.path.join(loc.pose_dir, f"{frame}.json")) as f:
+            rows = [json.loads(line) for line in f]
+        tr = Transforms(FrameData(loc, frame))
+        np.testing.assert_array_equal(
+            tr.t_map_camera,
+            np.array(rows[1]["mapToCamera"], np.float32).reshape(4, 4))
+        np.testing.assert_array_equal(
+            tr.t_utm_camera,
+            np.array(rows[2]["UTMToCamera"], np.float32).reshape(4, 4))
+        # inverses round-trip (float64 inversion of the float32 pose)
+        for fwd, inv in [(tr.t_map_camera, tr.t_camera_map),
+                         (tr.t_utm_camera, tr.t_camera_utm)]:
+            np.testing.assert_allclose(inv @ fwd, np.eye(4), atol=1e-6)
+
+    def test_utm_map_offset_is_frame_invariant(self, loc):
+        # map and UTM are both fixed world frames, so t_utm_map =
+        # t_utm_camera · t_camera_map must be the same rigid transform for
+        # every frame (odom can't be used for this: it is a per-drive
+        # dead-reckoning frame and the example_set frames span drives).
+        # Bound: float32 storage of the ~5.8e6 m UTM northing gives
+        # ~0.6 m of absolute precision; measured spread is ≤0.16 m.
+        mats = []
+        for frame in FRAMES:
+            tr = Transforms(FrameData(loc, frame))
+            m = tr.t_utm_camera @ tr.t_camera_map
+            r = m[:3, :3]
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+            assert abs(np.linalg.det(r) - 1.0) < 1e-6
+            mats.append(m)
+        for other in mats[1:]:
+            np.testing.assert_allclose(mats[0][:3, :3], other[:3, :3],
+                                       atol=1e-6)
+            np.testing.assert_allclose(mats[0][:3, 3], other[:3, 3],
+                                       atol=0.6)
+
 
 # ---------------------------------------------------------------------------
 # example_set: ego motion + compensation on real poses/points

@@ -23,8 +23,10 @@ import flax.linen as nn
 
 from ..ops import knn_auto as knn, group
 from ..ops import pallas_sa
-from ..ops.pallas_correlator import TILE_M, fused_knn_weight_aggregate
+from ..ops.pallas_correlator import (TILE_M, fused_knn_weight_aggregate,
+                                     knn_gather_apply)
 from ..ops.pallas_correlator_train import fused_knn_weight_aggregate_train
+from ..ops.pallas_knn import knn_indices_tiled
 from .layers import PointwiseMLP, WeightNet
 
 
@@ -54,15 +56,15 @@ class FeatureCorrelator(nn.Module):
         wn2 = WeightNet(self.mlp[-1], dtype=self.dtype, name="weightnet2")
 
         d1, d2c = f1.shape[-1], f2.shape[-1]
-        # n <= 4096: past that the fused kernel LOSES (measured round 3:
-        # 15.1 vs 13.9 ms/frame at 8k eval, 51.5 vs 30.0 at 16k, via the
-        # loop-select kernel variant) — its exact one-hot MXU gathers
-        # cost k·N·M·C FLOPs, quadratic in cloud size, while the XLA
-        # path's row gathers fuse with the grouped MLP and the tiled
-        # pallas kNN owns selection. Large clouds keep the chunked path.
+        # n <= 4096: the all-in-VMEM kernel (selection + exact one-hot
+        # gathers in one program). Past that its one-hot MXU gathers cost
+        # k·N·M·C FLOPs, quadratic in cloud size (measured round 3: 15.1
+        # vs 13.9 ms/frame at 8k eval, 51.5 vs 30.0 at 16k) — large
+        # clouds instead run the SPLIT formulation `knn_gather_apply`:
+        # tiled-kNN selection kernel + ONE XLA row gather per stage +
+        # a fused MLP/WeightNet/weighted-sum kernel (round 4).
         fused = (not train and self.fused_eval
-                 and pallas_sa.fused_available() and n % TILE_M == 0
-                 and n <= 4096)
+                 and pallas_sa.fused_available() and n % TILE_M == 0)
         if fused:
             # materialize identical param trees, then read them for the
             # layer-1 factorization (dummy applies are dead-code removed)
@@ -85,13 +87,27 @@ class FeatureCorrelator(nn.Module):
                       for i in range(1, len(self.mlp))]
             wn1_ws, wn1_bs = _wn_params(wn1.variables)
             wn2_ws, wn2_bs = _wn_params(wn2.variables)
-            cost = fused_knn_weight_aggregate(
-                pc1, pc2, feats_p, add_q, mask2, mlp_ws, mlp_bs,
-                wn1_ws, wn1_bs, k=self.nsample,
-                compute_dtype=self.dtype)
-            cost = fused_knn_weight_aggregate(
-                pc1, pc1, cost, None, mask1, [], [], wn2_ws, wn2_bs,
-                k=self.nsample, compute_dtype=self.dtype)
+            if n <= 4096:
+                cost = fused_knn_weight_aggregate(
+                    pc1, pc2, feats_p, add_q, mask2, mlp_ws, mlp_bs,
+                    wn1_ws, wn1_bs, k=self.nsample,
+                    compute_dtype=self.dtype)
+                cost = fused_knn_weight_aggregate(
+                    pc1, pc1, cost, None, mask1, [], [], wn2_ws, wn2_bs,
+                    k=self.nsample, compute_dtype=self.dtype)
+            else:
+                interp = jax.default_backend() != "tpu"
+                idx1 = knn_indices_tiled(pc1, pc2, mask2, k=self.nsample,
+                                         interpret=interp)
+                cost = knn_gather_apply(
+                    idx1, pc1, pc2, feats_p, add_q, mlp_ws, mlp_bs,
+                    wn1_ws, wn1_bs, k=self.nsample,
+                    compute_dtype=self.dtype)
+                idx2 = knn_indices_tiled(pc1, pc1, mask1, k=self.nsample,
+                                         interpret=interp)
+                cost = knn_gather_apply(
+                    idx2, pc1, pc1, cost, None, [], [], wn2_ws, wn2_bs,
+                    k=self.nsample, compute_dtype=self.dtype)
             return cost.astype(self.dtype)
 
         # TRAIN path: both stages as custom-VJP fused kernels

@@ -78,8 +78,8 @@ def _extract_k(keys, idxf, k):
             jnp.concatenate(ids, axis=1))
 
 
-def _knn_kernel(q_ref, xt_ref, sqx_ref, pm_ref, idx_ref, *, k: int,
-                tp: int, m: int):
+def _knn_kernel(q_ref, xt_ref, sqx_ref, pm_ref, idx_ref, keys_ref, *,
+                k: int, tp: int, m: int):
     q = q_ref[:].astype(jnp.float32)                    # (TQ, 3)
     tq = q.shape[0]
     q2 = jnp.sum(q * q, axis=1, keepdims=True)          # (TQ, 1)
@@ -122,8 +122,14 @@ def _knn_kernel(q_ref, xt_ref, sqx_ref, pm_ref, idx_ref, *, k: int,
 
     hd0 = jnp.full((tq, k), -_BIG, jnp.float32)
     hi0 = jnp.zeros((tq, k), jnp.float32)
-    _, hi = jax.lax.fori_loop(0, n_chunks, chunk, (hd0, hi0))
+    hd, hi = jax.lax.fori_loop(0, n_chunks, chunk, (hd0, hi0))
     idx_ref[:] = hi.astype(jnp.int32)
+    # final head keys (-d², or -_BIG where no valid candidate was
+    # selected): lets callers derive per-neighbor validity without the
+    # (N·k,) jnp.take over the mask — that bool row gather measured
+    # 1.85 ms/frame PER STAGE at the 16k stretch config (latency-bound,
+    # as wide as the 256-channel feature gather).
+    keys_ref[:] = hd
 
 
 def _round_up(x: int, m: int) -> int:
@@ -132,12 +138,13 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "tq", "tp", "interpret",
-                                    "vmem_limit_bytes"))
+                                    "vmem_limit_bytes", "return_keys"))
 def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
                       points_mask: jnp.ndarray | None = None, *,
                       k: int, tq: int = 256, tp: int = 512,
                       vmem_limit_bytes: int = 96 * 1024 * 1024,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      return_keys: bool = False):
     """Indices of the k nearest valid `points` per `query` row.
 
     Args:
@@ -147,10 +154,16 @@ def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
       k: neighbor count (static).
       tq/tp: query/point tile sizes (static).
       interpret: run in the Pallas interpreter (CPU testing).
+      return_keys: also return the selection keys (-d², the expanded-form
+        squared distance of neighborhood.square_distance) and the
+        per-slot validity. Fallback-padded slots keep their original
+        -_BIG key (validity False) — callers wanting the padded slots'
+        true distances recompute from the gathered neighbors.
     Returns:
       (N, k) int32, ascending by distance, ties to the lowest index.
       Rows beyond the valid point count repeat the nearest valid index
       (same padding rule as ops.neighborhood.knn); all-invalid → 0.
+      With return_keys: (idx, keys, valid).
     """
     n, m = query.shape[0], points.shape[0]
     n_pad, m_pad = _round_up(n, tq), _round_up(m, max(tp, 128))
@@ -168,7 +181,7 @@ def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
     sqx = jnp.sum(pp * pp, axis=1)[None, :]             # (1, M)
     pmf = pm.astype(jnp.float32)[None, :]               # (1, M)
 
-    idx = pl.pallas_call(
+    idx, keys = pl.pallas_call(
         functools.partial(_knn_kernel, k=k, tp=tp, m=m_pad),
         grid=(n_pad // tq,),
         in_specs=[
@@ -181,19 +194,30 @@ def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
             pl.BlockSpec((1, m_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tq, k), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
+        out_specs=(pl.BlockSpec((tq, k), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tq, k), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
+                   jax.ShapeDtypeStruct((n_pad, k), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(qp, xt, sqx, pmf)[:n]
+    )(qp, xt, sqx, pmf)
+    idx, keys = idx[:n], keys[:n]
 
-    # first-hit padding for < k valid points (matches neighborhood.knn)
-    nbr_valid = jnp.take(pm, idx)
+    # first-hit padding for < k valid points (matches neighborhood.knn).
+    # A slot selected a valid candidate iff its key moved off the -_BIG
+    # floor — masked candidates keep exactly -_BIG and real radar-scale
+    # coordinates can never reach d² = 1e10 (|x| ~ 1e5 m); no mask
+    # gather needed.
+    nbr_valid = keys > (-_BIG / 2)
     fallback = jnp.where(nbr_valid[:, :1], idx[:, :1], 0)
-    return jnp.where(nbr_valid, idx, fallback).astype(jnp.int32)
+    idx = jnp.where(nbr_valid, idx, fallback).astype(jnp.int32)
+    if return_keys:
+        return idx, keys, nbr_valid
+    return idx
 
 
 def knn_tiled(k: int, query: jnp.ndarray, points: jnp.ndarray,

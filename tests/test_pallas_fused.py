@@ -183,6 +183,76 @@ class TestFusedCorrelator:
                                         **kw2)
         np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
 
+    @pytest.mark.parametrize("n_valid", [350, 5, 0])
+    def test_split_path_matches_all_in_vmem_kernel(self, n_valid):
+        """knn_gather_apply (tiled-kNN idx + XLA gather + apply kernel,
+        the >4096 routing) must match fused_knn_weight_aggregate exactly:
+        identical selection rules (lowest-index ties, repeat-nearest,
+        no-hit index 0 — both use the expanded-form distance in the same
+        op order), exact f32 gathers either way, and the same MLP/
+        WeightNet tail code."""
+        from ratrack_tpu.ops.pallas_correlator import (
+            fused_knn_weight_aggregate, knn_gather_apply)
+        from ratrack_tpu.ops.pallas_knn import knn_indices_tiled
+
+        rng, pc1, pc2, f1, f2 = self._case(5, n=256)
+        rngw = np.random.RandomState(11)
+        featsp = jnp.asarray(rngw.randn(256, 64).astype(np.float32))
+        addq = jnp.asarray(rngw.randn(256, 64).astype(np.float32))
+        mlp_ws = [jnp.asarray(rngw.randn(64, 64).astype(np.float32))]
+        mlp_bs = [jnp.asarray(rngw.randn(64).astype(np.float32))]
+        wn_ws = [jnp.asarray(rngw.randn(3, 16).astype(np.float32)),
+                 jnp.asarray(rngw.randn(16, 16).astype(np.float32)),
+                 jnp.asarray(rngw.randn(16, 64).astype(np.float32))]
+        wn_bs = [jnp.asarray(rngw.randn(c).astype(np.float32))
+                 for c in (16, 16, 64)]
+        mask = jnp.asarray(np.arange(256) < n_valid)
+
+        a = fused_knn_weight_aggregate(
+            pc1[:256], pc2[:256], featsp, addq, mask_p=mask,
+            mlp_ws=mlp_ws, mlp_bs=mlp_bs, wn_ws=wn_ws, wn_bs=wn_bs,
+            k=16, compute_dtype=jnp.float32)
+        idx = knn_indices_tiled(pc1[:256], pc2[:256], mask, k=16,
+                                interpret=True)
+        b = knn_gather_apply(
+            idx, pc1[:256], pc2[:256], featsp, addq, mlp_ws, mlp_bs,
+            wn_ws, wn_bs, k=16, compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # stage-2 form (no pair MLP, no add_q)
+        a2 = fused_knn_weight_aggregate(
+            pc1[:256], pc2[:256], featsp, None, mask_p=mask,
+            mlp_ws=[], mlp_bs=[], wn_ws=wn_ws, wn_bs=wn_bs, k=16,
+            compute_dtype=jnp.float32)
+        b2 = knn_gather_apply(
+            idx, pc1[:256], pc2[:256], featsp, None, [], [],
+            wn_ws, wn_bs, k=16, compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+    def test_module_routes_split_path_past_4096(self, monkeypatch):
+        """FeatureCorrelator at n > 4096 runs the split formulation and
+        stays within the hoist-reassociation tolerance class of the
+        unfused XLA path."""
+        monkeypatch.setattr(pallas_sa, "FORCE_FUSED_ON_CPU", True)
+        n = 4224                       # %128 ok, %256 no → TILE_M fallback
+        rng = np.random.RandomState(6)
+        pc1 = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 5)
+        pc2 = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 5)
+        f1 = jnp.asarray(rng.randn(n, 64).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(n, 64).astype(np.float32))
+        m1 = jnp.asarray(np.arange(n) < n - 100)
+        m2 = jnp.asarray(np.arange(n) < n - 50)
+        mod_u = FeatureCorrelator(16, (64, 64, 64), jnp.float32, False)
+        mod_f = FeatureCorrelator(16, (64, 64, 64), jnp.float32, True)
+        vs = mod_u.init(jax.random.PRNGKey(0), pc1, pc2, f1, f2, m1, m2,
+                        train=False)
+        a = np.asarray(mod_u.apply(vs, pc1, pc2, f1, f2, m1, m2,
+                                   train=False))
+        b = np.asarray(mod_f.apply(vs, pc1, pc2, f1, f2, m1, m2,
+                                   train=False))
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5)
+
     def test_train_path_unchanged_by_flag(self):
         # train=True must never take the fused branch regardless of flag
         _, pc1, pc2, f1, f2 = self._case(3)

@@ -78,9 +78,12 @@ def main():
                                         make_scan_train_step,
                                         make_scan_eval_step_cached)
 
-    if which in ("train", "train8k"):
+    if which in ("train", "train8k", "train16k"):
         if which == "train":
             n_max, b, t, kw = 512, 8, 8, {}
+        elif which == "train16k":
+            n_max, b, t, kw = 16384, 1, 2, dict(exact_fps=True,
+                                                mov_budget=512)
         else:
             n_max, b, t, kw = 8192, 2, 2, dict(exact_fps=True,
                                                mov_budget=512)
@@ -96,6 +99,9 @@ def main():
     else:
         if which == "eval":
             n_max, b, t, kw = 512, 8, 32, {}
+        elif which == "eval16k":
+            n_max, b, t, kw = 16384, 1, 4, dict(exact_fps=True,
+                                                mov_budget=512)
         else:
             n_max, b, t, kw = 8192, 1, 4, dict(exact_fps=True,
                                                mov_budget=512)

@@ -20,6 +20,23 @@ import jax.numpy as jnp
 
 _NEG = jnp.float32(-1e9)
 
+# test hook: route the fixed-iteration path through the fused Pallas
+# solver on CPU (interpret mode); on TPU it is used whenever enabled
+FORCE_FUSED_ON_CPU = False
+#: master switch for the fused-loop kernel (ops/pallas_sinkhorn.py).
+#: Default OFF — measured a WASH on the real chip (bench eval
+#: 3179 fps / 0.287 ms-frame device fused vs 3244 / 0.285 XLA loop):
+#: inside the one compiled scan program the XLA per-iteration fusions
+#: have no launch cost to save, and both forms are bound by the same
+#: 2×(B,K+1,K+1) exp per iteration. Kept (tested, interpret-mode
+#: bit-exact) as the recorded negative so it isn't re-tried.
+USE_FUSED_KERNEL = False
+
+
+def _fused_available() -> bool:
+    return USE_FUSED_KERNEL and (jax.default_backend() == "tpu"
+                                 or FORCE_FUSED_ON_CPU)
+
 
 def _lse(a, axis):
     amax = jnp.max(a, axis=axis, keepdims=True)
@@ -124,6 +141,15 @@ def log_optimal_transport_masked(scores: jnp.ndarray, m: jnp.ndarray,
             cond, body,
             (jnp.int32(0), jnp.zeros(k + 1), jnp.zeros(k + 1),
              jnp.float32(jnp.inf)))
+    elif not safe_lse and _fused_available():
+        # fused-loop Pallas solver: all `iters` iterations inside ONE
+        # kernel (the XLA lowering is 2 tiny reduce fusions + copies per
+        # iteration — ~1000 launches/frame of pure overhead at this
+        # shape). Same bounded-LSE expression; reduce-order ulps only.
+        # Primal-only (nothing differentiates through Z — the loss
+        # consumes raw affinities; Z feeds argmax matching).
+        from ..ops.pallas_sinkhorn import sinkhorn_uv
+        u, v = sinkhorn_uv(c, log_mu, log_nu, iters)
     else:
         u, v = jax.lax.fori_loop(
             0, iters, lambda _, uv: step(*uv),

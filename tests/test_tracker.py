@@ -97,6 +97,42 @@ def test_sinkhorn_early_exit_matches_full(rng):
     np.testing.assert_allclose(fast[:m, :n], full[:m, :n], atol=1e-3)
 
 
+def test_sinkhorn_fused_kernel_matches_xla_loop(rng):
+    """ops/pallas_sinkhorn.py: the fused-loop solver must reproduce the
+    XLA fori_loop bit-for-bit on the interpreter (identical bounded-LSE
+    expression; on-chip only reduce-order ulps are expected — the class
+    every other kernel documents). Covers single and vmapped dispatch
+    (the custom_vmap batch rule is the production eval-scan path)."""
+    import jax
+    from ratrack_tpu.tracker import sinkhorn as S
+
+    k = 32
+    alpha = jnp.float32(0.9)
+    aff = jnp.asarray(rng.rand(k, k).astype(np.float32))
+    want = np.asarray(log_optimal_transport_masked(
+        aff, jnp.asarray(5), jnp.asarray(7), alpha, 500, safe_lse=False))
+    old = (S.FORCE_FUSED_ON_CPU, S.USE_FUSED_KERNEL)
+    S.FORCE_FUSED_ON_CPU = S.USE_FUSED_KERNEL = True
+    try:
+        got = np.asarray(log_optimal_transport_masked(
+            aff, jnp.asarray(5), jnp.asarray(7), alpha, 500,
+            safe_lse=False))
+        affb = jnp.asarray(rng.rand(4, k, k).astype(np.float32))
+        mb = jnp.asarray([0, 3, 32, 7], np.int32)
+        nb = jnp.asarray([2, 1, 32, 7], np.int32)
+        f = jax.vmap(lambda a, m, n: log_optimal_transport_masked(
+            a, m, n, alpha, 500, safe_lse=False))
+        got_b = np.asarray(jax.jit(f)(affb, mb, nb))
+    finally:
+        S.FORCE_FUSED_ON_CPU, S.USE_FUSED_KERNEL = old
+    valid = want > -1e8
+    np.testing.assert_array_equal(got[valid], want[valid])
+    want_b = np.asarray(f(affb, mb, nb))
+    vb = want_b > -1e8
+    np.testing.assert_array_equal(got_b[vb], want_b[vb])
+    np.testing.assert_array_equal(vb, got_b > -1e8)
+
+
 def test_sinkhorn_empty_sides():
     k = 4
     z = log_optimal_transport_masked(

@@ -464,13 +464,13 @@ def _run(cfg, log, models_dir, exp_dir):
     if batched:
         from .train.step import make_scan_train_step
         from .parallel import make_mesh
-        scan_train = make_scan_train_step(model, tx)
         if cfg.dp > 1 and len(jax.devices()) >= cfg.dp:
             mesh = make_mesh(cfg.dp)
             log.print(f"mesh: dp={cfg.dp} over {mesh.devices}")
         elif cfg.dp > 1:
             log.print(f"dp={cfg.dp} streams on {len(jax.devices())} "
                       "device(s): batched but unsharded")
+        scan_train = make_scan_train_step(model, tx, mesh=mesh)
 
     best = np.inf
     history: List[Dict[str, float]] = []

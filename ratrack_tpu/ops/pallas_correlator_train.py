@@ -59,7 +59,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e10
-_VMEM_LIMIT = 96 * 1024 * 1024
+# The stash-consuming backward's pipelined buffers measured 123.20 MB
+# scoped-vmem at the flagship config (k=16, n=512, C=256, 2-layer MLP)
+# — the 96 MB the pre-stash kernels used OOMs the backend compiler.
+# v5e VMEM is 128 MB; 127 MB leaves the runtime's reserve only.
+_VMEM_LIMIT = 127 * 1024 * 1024
 _SLOT_BLOCK = 8
 
 
@@ -321,6 +325,31 @@ def _full():
 @functools.lru_cache(maxsize=None)
 def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
                has_add: bool, w_shapes: tuple, interpret: bool):
+    """Build the fwd/bwd correlator-train cores for one config.
+
+    NOTE (stash cost): the forward ALWAYS materializes the backward's
+    stash — ids, dirs, h0 and every MLP post-activation (~17 MB/stream
+    at the flagship config) — because pallas_call outputs cannot be
+    individually dead-code-eliminated. A loss-only (primal, undiff'd)
+    forward through the train graph therefore pays the stash HBM
+    traffic for nothing; use the eval-path correlator for inference.
+    """
+    # VMEM head-check for NEW configs (ADVICE r3): the backend's
+    # pipelined/stacked buffers measured ~4.2× the naive block-byte sum
+    # at the flagship config (naive ~29 MB → 123.20 MB scoped-vmem on
+    # the bwd kernel), so gate on 4× the naive sum. The flagship passes
+    # with ~9% margin; a wider/deeper config fails HERE with a sizing
+    # message instead of a backend-compiler OOM.
+    mlp_d = [w_shapes[i][1] for i in range(n_mlp)]
+    stash_rows = k * n * (1 + 3 + c + sum(mlp_d))
+    resident = 4 * (stash_rows + n * c_out + m * (3 + 2 * c) + n * 3
+                    + sum(a * b for a, b in w_shapes))
+    if 4 * resident > _VMEM_LIMIT:
+        raise ValueError(
+            f"correlator-train config (k={k}, n={n}, m={m}, c={c}, "
+            f"mlp={mlp_d}): ~4×{resident >> 20} MB projected scoped "
+            f"vmem > _VMEM_LIMIT {_VMEM_LIMIT >> 20} MB; shrink the "
+            "config or re-measure and raise the limit")
     params = pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT,
         dimension_semantics=("arbitrary",))

@@ -103,11 +103,22 @@ def _make_loss_fn(model):
 
 
 def _sgd_frame(tx, loss_fn, ts: TrainState, track_states: TrackState,
-               frames, pretrain):
-    """One frame across all streams: grad → optimizer → new state."""
+               frames, pretrain, axis_name: str | None = None):
+    """One frame across all streams: grad → optimizer → new state.
+
+    With `axis_name` (inside shard_map over the dp mesh axis) the local
+    per-shard mean-gradient and BN-stat updates are pmean'd explicitly:
+    equal shard sizes make pmean-of-local-means equal the global mean,
+    so the update matches the single-placement step to reduction-order
+    ulps. Explicit collectives (vs GSPMD-inferred) pin the program's
+    collective inventory — see make_scan_train_step.
+    """
     grads, (new_track, items, new_stats) = jax.grad(
         loss_fn, has_aux=True)(ts.params, ts.batch_stats,
                                track_states, frames, pretrain)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        new_stats = jax.lax.pmean(new_stats, axis_name)
     updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
     new_params = optax.apply_updates(ts.params, updates)
     new_ts = TrainState(new_params, new_stats, new_opt, ts.step + 1)
@@ -131,7 +142,7 @@ def make_train_step(model, tx):
     return train_step
 
 
-def make_scan_train_step(model, tx):
+def make_scan_train_step(model, tx, mesh=None):
     """T per-frame optimizer steps fused into ONE dispatch.
 
     The reference steps the optimizer once per frame with recurrent state
@@ -140,31 +151,56 @@ def make_scan_train_step(model, tx):
     lax.scan carry, so the compiled program performs T sequential
     grad→update→apply rounds — numerically identical to T `train_step`
     calls — while paying host/dispatch latency once per block instead of
-    once per frame. Under a 'dp' mesh the mean-over-streams gradient makes
-    XLA insert one psum per frame over ICI.
+    once per frame.
+
+    With `mesh` the whole scan runs inside shard_map over the 'dp' axis:
+    every per-stream op is device-local BY CONSTRUCTION and the only
+    collectives are the explicit per-frame pmeans in `_sgd_frame`
+    (gradients + BN stats). Leaving the layout to GSPMD instead was
+    measured to replicate the (B, N, N) neighbor-selection matrices —
+    32 all-gathers of f32[8,512,512] PER FRAME at the flagship shape
+    (sort-lowered top_k makes the partitioner gather its operand) —
+    ~256 MB/frame of inter-chip traffic that shard_map makes impossible.
+    The dryrun asserts this inventory on the compiled HLO
+    (__graft_entry__.py).
 
     Args to the returned fn: (ts, track_states[B], frames[B, T, ...],
-    pretrain) → (ts', track_states', items[T, B]).
+    pretrain) → (ts', track_states', items[T, B]). With mesh, B must be
+    sharded over 'dp' (parallel.shard_clips) and params replicated.
     """
     loss_fn = _make_loss_fn(model)
 
-    @functools.partial(jax.jit, compiler_options=train_compiler_options())
-    def scan_train(ts: TrainState, track_states: TrackState, frames_bt,
-                   pretrain):
+    def scan_train(ts: TrainState, track_states: TrackState,
+                   frames_bt, pretrain, axis_name=None):
         frames_tb = jax.tree_util.tree_map(
             lambda x: jnp.swapaxes(x, 0, 1), frames_bt)
 
         def body(carry, frames):
             ts, tstates = carry
             new_ts, new_track, items = _sgd_frame(
-                tx, loss_fn, ts, tstates, frames, pretrain)
+                tx, loss_fn, ts, tstates, frames, pretrain,
+                axis_name=axis_name)
             return (new_ts, new_track), items
 
         (ts, track_states), items = jax.lax.scan(
             body, (ts, track_states), frames_tb)
         return ts, track_states, items
 
-    return scan_train
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        # check_vma off: model-internal fori_loop carries start from
+        # unvarying constants, which the varying-axis tracker rejects;
+        # replication of the P() outputs is real (pmean'd grads →
+        # identical updates) and is asserted by the dryrun's numerics.
+        scan_train = jax.shard_map(
+            functools.partial(scan_train, axis_name="dp"),
+            mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp"), P()),
+            out_specs=(P(), P("dp"), P(None, "dp")),
+            check_vma=False)
+
+    return functools.partial(
+        jax.jit, compiler_options=train_compiler_options())(scan_train)
 
 
 def make_eval_step(model):
@@ -328,16 +364,29 @@ def make_pipelined_eval_step(model):
     return step
 
 
-def make_scan_eval_step(model):
+def _shard_eval(mesh, scan_eval):
+    """Wrap an eval scan in shard_map over 'dp': streams are independent,
+    so the sharded program contains ZERO collectives by construction
+    (GSPMD instead replicated the (B, N, N) neighbor matrices through
+    sort-lowered top_k — see make_scan_train_step). Asserted on the
+    compiled HLO by the dryrun."""
+    from jax.sharding import PartitionSpec as P
+    return jax.jit(jax.shard_map(
+        scan_eval, mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp")), check_vma=False))
+
+
+def make_scan_eval_step(model, mesh=None):
     """lax.scan the eval step over a [T, ...] stack of frames per clip.
 
     Serial frame dependency (GRU h + prev objects) means within-clip work
     cannot parallelize — but scanning T frames per dispatch amortizes all
     host-device latency, and clips batch via vmap on top. This is the
-    throughput path used by bench.py.
+    throughput path used by bench.py. With `mesh`, clip streams shard
+    over 'dp' via shard_map (no collectives — streams are independent).
     """
 
-    @jax.jit
     def scan_eval(variables, track_state: TrackState, frames_t):
         def one_clip(tstate, frames):
             def body(carry, frame):
@@ -349,7 +398,9 @@ def make_scan_eval_step(model):
             return jax.lax.scan(body, tstate, frames)
         return jax.vmap(one_clip)(track_state, frames_t)
 
-    return scan_eval
+    if mesh is not None:
+        return _shard_eval(mesh, scan_eval)
+    return jax.jit(scan_eval)
 
 
 def chain_contiguous(frame_numbers, new_seq) -> bool:
@@ -368,7 +419,7 @@ def chain_contiguous(frame_numbers, new_seq) -> bool:
     return bool(np.all(np.diff(fno) == 1) and not np.any(ns[1:]))
 
 
-def make_scan_eval_step_cached(model):
+def make_scan_eval_step_cached(model, mesh=None):
     """Scan eval that carries the pc2 backbone features across frames.
 
     Frame t's pc2 IS frame t-1's pc1 in a contiguous stream, and in eval
@@ -386,7 +437,6 @@ def make_scan_eval_step_cached(model):
     """
     from ..models.track4d import Track4D
 
-    @jax.jit
     def scan_eval(variables, track_state: TrackState, frames_t):
         def one_clip(tstate, frames):
             frame0 = jax.tree_util.tree_map(lambda x: x[0], frames)
@@ -407,4 +457,6 @@ def make_scan_eval_step_cached(model):
             return new_t, outs
         return jax.vmap(one_clip)(track_state, frames_t)
 
-    return scan_eval
+    if mesh is not None:
+        return _shard_eval(mesh, scan_eval)
+    return jax.jit(scan_eval)

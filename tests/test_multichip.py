@@ -12,7 +12,16 @@ per-stream program is identical). Training reduces gradients with a
 mean-over-streams (psum over ICI when sharded) whose summation order
 differs from the single-device mean, so parameters match to float32
 reduction tolerance.
+
+The sharded path is shard_map over the 'dp' axis (make_scan_train_step /
+make_scan_eval_step with mesh=): per-stream compute is device-local by
+construction and the only collectives are the explicit per-frame pmeans
+of gradients + BN stats — asserted here on the compiled HLO. (GSPMD was
+measured to replicate the (B, N, N) neighbor-selection matrices instead:
+32 all-gathers of f32[8,512,512] per frame at the flagship shape.)
 """
+
+import re
 
 import jax
 import jax.numpy as jnp
@@ -145,16 +154,16 @@ class TestShardedNumerics:
         jax.block_until_ready(ts_u)
 
         mesh = make_mesh(N_DEV)
-        with mesh:
-            ts_s = ts0._replace(
-                params=replicate(mesh, ts0.params),
-                batch_stats=replicate(mesh, ts0.batch_stats),
-                opt_state=replicate(mesh, ts0.opt_state))
-            frames_s = shard_clips(mesh, frames)
-            tstates_s = shard_clips(mesh, tstates)
-            ts_s, track_s, items_s = scan_train(ts_s, tstates_s, frames_s,
-                                                jnp.asarray(True))
-            jax.block_until_ready(ts_s)
+        scan_train_s = make_scan_train_step(model, tx, mesh=mesh)
+        ts_s = ts0._replace(
+            params=replicate(mesh, ts0.params),
+            batch_stats=replicate(mesh, ts0.batch_stats),
+            opt_state=replicate(mesh, ts0.opt_state))
+        frames_s = shard_clips(mesh, frames)
+        tstates_s = shard_clips(mesh, tstates)
+        ts_s, track_s, items_s = scan_train_s(ts_s, tstates_s, frames_s,
+                                              jnp.asarray(True))
+        jax.block_until_ready(ts_s)
         return (ts_u, track_u, items_u), (ts_s, track_s, items_s)
 
     def test_full_loss_items_match_under_sharding(self, model, workload):
@@ -170,14 +179,14 @@ class TestShardedNumerics:
         scan_train = make_scan_train_step(model, tx)
         _, _, items_u = scan_train(ts0, tstates, frames, jnp.asarray(False))
         mesh = make_mesh(N_DEV)
-        with mesh:
-            ts_s = ts0._replace(
-                params=replicate(mesh, ts0.params),
-                batch_stats=replicate(mesh, ts0.batch_stats),
-                opt_state=replicate(mesh, ts0.opt_state))
-            _, _, items_s = scan_train(ts_s, shard_clips(mesh, tstates),
-                                       shard_clips(mesh, frames),
-                                       jnp.asarray(False))
+        scan_train_s = make_scan_train_step(model, tx, mesh=mesh)
+        ts_s = ts0._replace(
+            params=replicate(mesh, ts0.params),
+            batch_stats=replicate(mesh, ts0.batch_stats),
+            opt_state=replicate(mesh, ts0.opt_state))
+        _, _, items_s = scan_train_s(ts_s, shard_clips(mesh, tstates),
+                                     shard_clips(mesh, frames),
+                                     jnp.asarray(False))
         got, want = np.asarray(items_s["Loss"]), np.asarray(items_u["Loss"])
         # frame 0: identical inputs/params, so only compilation-level f32
         # rounding (which can still flip a discrete cluster-membership
@@ -226,12 +235,12 @@ class TestShardedNumerics:
         jax.block_until_ready(keep_u)
 
         mesh = make_mesh(N_DEV)
-        with mesh:
-            variables_s = replicate(mesh, variables)
-            frames_s = shard_clips(mesh, frames)
-            tstates_s = shard_clips(mesh, tstates)
-            ts_s, keep_s = scan_eval(variables_s, tstates_s, frames_s)
-            jax.block_until_ready(keep_s)
+        scan_eval_s = make_scan_eval_step(model, mesh=mesh)
+        variables_s = replicate(mesh, variables)
+        frames_s = shard_clips(mesh, frames)
+        tstates_s = shard_clips(mesh, tstates)
+        ts_s, keep_s = scan_eval_s(variables_s, tstates_s, frames_s)
+        jax.block_until_ready(keep_s)
 
         # eval is stream-independent: sharding must not perturb anything
         for k in keep_u:
@@ -247,3 +256,63 @@ class TestShardedNumerics:
                     err_msg=f"eval output {k} differs under dp mesh")
         np.testing.assert_array_equal(np.asarray(ts_s.track_id),
                                       np.asarray(ts_u.track_id))
+
+
+def _collective_inventory(hlo_text: str):
+    """Count collective INSTRUCTIONS (not get-tuple-element mentions)."""
+    return {c: len(re.findall(r"%" + c + r"[.\d]* = ", hlo_text))
+            for c in ("all-reduce", "all-gather", "collective-permute",
+                      "reduce-scatter", "all-to-all")}
+
+
+class TestCollectiveInventory:
+    """The compiled sharded programs contain exactly the intended
+    collectives (VERDICT r3 #3): per-frame gradient/BN-stat pmeans in
+    train, NONE in eval. A stray all-gather of activations would pass
+    every numeric test above while destroying real-chip scaling."""
+
+    def test_train_collectives_are_pmeans_only(self, model, workload):
+        import optax
+        clips, frames, tstates = workload
+        cfg = Config(n_max=N_MAX, k_max=K_MAX, g_max=G_MAX, npoints=N_MAX,
+                     sinkhorn_iters=20)
+        ts0 = create_train_state(model, cfg, clips[0][0],
+                                 init_state(K_MAX), steps_per_epoch=10)
+        tx = optax.sgd(1e-2)
+        ts0 = ts0._replace(opt_state=tx.init(ts0.params))
+        mesh = make_mesh(N_DEV)
+        scan_train_s = make_scan_train_step(model, tx, mesh=mesh)
+        ts_s = ts0._replace(
+            params=replicate(mesh, ts0.params),
+            batch_stats=replicate(mesh, ts0.batch_stats),
+            opt_state=replicate(mesh, ts0.opt_state))
+        txt = scan_train_s.lower(
+            ts_s, shard_clips(mesh, tstates), shard_clips(mesh, frames),
+            jnp.asarray(False)).compile().as_text()
+        inv = _collective_inventory(txt)
+        # the two explicit pmeans (gradients, BN stats) — XLA merges each
+        # tree into tuple all-reduces; a handful is fine, a stray gather
+        # of (B, N, N) activations is not
+        assert 1 <= inv["all-reduce"] <= 8, inv
+        assert inv["all-gather"] == 0, inv
+        assert inv["collective-permute"] == 0, inv
+        assert inv["reduce-scatter"] == 0, inv
+        assert inv["all-to-all"] == 0, inv
+        # every all-reduce sits inside the scan body → executed once per
+        # frame (the while body computation contains them all)
+        for m in re.finditer(r"%all-reduce[.\d]* = [^\n]*", txt):
+            assert "while/body" in m.group(0), m.group(0)[:200]
+
+    def test_eval_has_zero_collectives(self, model, workload):
+        clips, frames, tstates = workload
+        frame0 = jax.tree_util.tree_map(lambda x: x[0, 0], frames)
+        variables = jax.jit(
+            lambda key: model.init(key, frame0, init_state(K_MAX),
+                                   train=False))(jax.random.PRNGKey(0))
+        mesh = make_mesh(N_DEV)
+        scan_eval_s = make_scan_eval_step(model, mesh=mesh)
+        txt = scan_eval_s.lower(
+            replicate(mesh, variables), shard_clips(mesh, tstates),
+            shard_clips(mesh, frames)).compile().as_text()
+        inv = _collective_inventory(txt)
+        assert all(v == 0 for v in inv.values()), inv

@@ -80,7 +80,8 @@ def main():
 
     if which in ("train", "train8k", "train16k"):
         if which == "train":
-            n_max, b, t, kw = 512, 8, 8, {}
+            # T=32: the bench/production scan window (tools/scenarios.py)
+            n_max, b, t, kw = 512, 8, 32, {}
         elif which == "train16k":
             n_max, b, t, kw = 16384, 1, 2, dict(exact_fps=True,
                                                 mov_budget=512)

@@ -27,14 +27,21 @@ custom_vmap exactly as in ops/pallas_sa_train.py):
     stage 2: the raw slots;
   * WeightNet: 3 biased ReLU layers on the (k·N, 3) directions;
   * out = Σ_s mlp_s ⊙ wn_s;
-  * backward: consumes the forward's STASHED state (selection ids,
-    directions, the MLP-chain input h0 = a0|slots, and every MLP
-    post-activation — the same lever that cleared the SA stack's
-    recompute, which here was ~45% of the backward kernel); only the
-    cheap 3-narrow-dot WeightNet chain is re-run from the stashed
-    directions. Gradients are bit-identical to the recompute
-    formulation (the stash stores the exact values the recompute
-    produced). Then backprop the product, the two chains (leaky' from
+  * backward: consumes the forward's STASHED state (selection ids and
+    directions in f32; the leaky MLP-chain input a0 and every MLP
+    post-activation as bf16 COPIES of the f32 compute chain — the same
+    lever that cleared the SA stack's recompute, which here was ~45% of
+    the backward kernel, at half the f32 stash's DMA). Raw slots (the
+    no-add stage's h0) are NOT stashed: the backward re-runs the exact
+    one-hot-dot gather from the stashed ids — bit-identical and cheaper
+    than the (k·N, C) round-trip. Only the cheap 3-narrow-dot WeightNet
+    chain is re-run from the stashed directions. The forward is
+    bit-identical to the f32-stash formulation (compute stays f32; the
+    stash is a copy); gradient deltas vs it are confined to the bf16
+    rounding of stashed values whose f32 identity the backward actually
+    uses — h_last in the product rule and the activation sign masks —
+    while every dW dot consumes the same bf16 operand it always
+    truncated to. Then backprop the product, the two chains (leaky' from
     post-activation sign — leaky preserves sign; relu' likewise),
     scatter d_slots to d_feats_p with single-pass bf16 one-hot
     transposes (cotangent truncation, same class), route d_dirs —
@@ -112,6 +119,16 @@ def _ids_list_reader(ids):
     return lambda s0, g: jnp.concatenate(ids[s0:s0 + g], axis=0)
 
 
+def _bf16_parts(v):
+    """f32 → (hi, mid, lo) bf16 parts, Σ parts == v bit-exactly in f32
+    (ops/sampling.py::_bf16_parts; exact for normal f32 inputs)."""
+    hi = v.astype(jnp.bfloat16)
+    r = v - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def _gather_all(idcol_of, featsp_b, xp, q, k, c, tm, m_pts, slots_ref,
                 dirs_ref):
     """slots (k·TM, C) bf16-value + dirs (k·TM, 3) exact into refs.
@@ -120,20 +137,32 @@ def _gather_all(idcol_of, featsp_b, xp, q, k, c, tm, m_pts, slots_ref,
     bf16-operand dots (or the weighted sum) anyway — the same truncation
     class — and the coordinate cancellation lives in the exact dirs
     path, not here. (The 3-way exact split tripled the widest dots of
-    the profiled step for no numerically-relevant precision.)"""
+    the profiled step for no numerically-relevant precision.)
+
+    The EXACT dirs gather runs as three single-pass bf16 one-hot dots
+    over the coordinates' bf16 split parts: each 0/1 × bf16 product is
+    exact in the f32 accumulator and the per-element part sums
+    reassemble the f32 coordinate bit-exactly (exponent gaps ≤ 8 bits
+    per partial sum), so the result equals the HIGHEST f32 dot it
+    replaces at 3 MXU passes instead of ~6 — and reuses the features'
+    bf16 one-hot instead of a second f32 one."""
     cols_row = jax.lax.broadcasted_iota(
         jnp.int32, (1, m_pts), 1).astype(jnp.float32)
+    xp_hi, xp_mid, xp_lo = _bf16_parts(xp)
     g = min(k, _SLOT_BLOCK)
     for s0 in range(0, k, g):
         oh = _slot_oh(idcol_of, s0, g, cols_row)
         ohb = oh.astype(jnp.bfloat16)
         slots_ref[s0 * tm:(s0 + g) * tm, :] = jax.lax.dot(
             ohb, featsp_b, preferred_element_type=jnp.float32)
+        gath = ((jax.lax.dot(ohb, xp_hi,
+                             preferred_element_type=jnp.float32)
+                 + jax.lax.dot(ohb, xp_mid,
+                               preferred_element_type=jnp.float32))
+                + jax.lax.dot(ohb, xp_lo,
+                              preferred_element_type=jnp.float32))
         dirs_ref[s0 * tm:(s0 + g) * tm, :] = (
-            jax.lax.dot(oh.astype(jnp.float32), xp,
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-            - jnp.broadcast_to(q[None], (g,) + q.shape).reshape(
+            gath - jnp.broadcast_to(q[None], (g,) + q.shape).reshape(
                 g * tm, 3))
 
 
@@ -155,10 +184,23 @@ def _mlp_chain(h2d, w_refs, start, n, act):
 def _fwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
                 addq_ref, wdir_ref, *refs, k: int, n_mlp: int, c: int,
                 has_add: bool):
+    """stash_h0 == has_add: raw slots (no layer-1 nonlinearity) are
+    recomputable in the backward from the stashed ids by one bf16
+    one-hot dot — the exact expression the forward used — so only the
+    leaky(a0) case stashes h0. Stashes are bf16 COPIES of the f32
+    compute chain (kept in a0_scr / registers), so the forward output
+    is bit-identical to the f32-stash formulation while the stash DMA
+    halves; the backward's reads carry the bf16 rounding class (see
+    _bwd_kernel)."""
+    stash_h0 = has_add
     w_refs = refs[:2 * (n_mlp + 3)]
     rest = refs[2 * (n_mlp + 3):]
-    out_ref, ids_ref, dirs_ref, h0_ref = rest[:4]
-    act_refs = rest[4:4 + n_mlp]
+    out_ref, ids_ref, dirs_ref = rest[:3]
+    rest = rest[3:]
+    if stash_h0:
+        h0_ref, rest = rest[0], rest[1:]
+    act_refs = rest[:n_mlp]
+    a0_scr = rest[n_mlp]                   # (k·TM, C) f32 compute buffer
     q = q_ref[...]
     tm = q.shape[0]
     m_pts = xpt_ref.shape[1]
@@ -168,30 +210,36 @@ def _fwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
     # passes otherwise re-run there); exact in f32 (ids < N)
     for s in range(k):
         ids_ref[s * tm:(s + 1) * tm, :] = ids[s]
-    # gathers go straight into the stash refs: h0 starts as the raw
-    # slots, dirs are emitted for the backward's WeightNet/scatter use
+    # gathers land in the f32 scratch (compute stays f32); dirs are
+    # emitted for the backward's WeightNet/scatter use (exact f32)
     _gather_all(_ids_list_reader(ids), featsp_ref[...], xpt_ref[...].T,
-                q, k, c, tm, m_pts, h0_ref, dirs_ref)
+                q, k, c, tm, m_pts, a0_scr, dirs_ref)
 
     if has_add:
         # layer-1 coordinate term from the EXACT directions: the
         # absolute-coordinate cancellation never touches the bf16
-        # feature gather (see module docstring)
-        h0_ref[...] = _leaky(h0_ref[...] + jnp.broadcast_to(
-            addq_ref[...][None], (k, tm, c)).reshape(k * tm, c)
-            + jax.lax.dot(dirs_ref[...], wdir_ref[...],
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32))
-    # h0 now holds the MLP-chain input (a0 when has_add, raw slots
-    # otherwise); each post-activation is stashed for the backward
-    h2d = h0_ref[...]
+        # feature gather (see module docstring). dirs @ W_dir runs as
+        # three f32 VPU FMAs — K=3 MXU dots at HIGHEST are pathological
+        # (K pads to the full sublane tile × ~6 precision passes); the
+        # FMA chain is the same f32-exact class, associativity aside.
+        d = dirs_ref[...]
+        w = wdir_ref[...]
+        dirw = (d[:, 0:1] * w[0:1, :] + d[:, 1:2] * w[1:2, :]
+                + d[:, 2:3] * w[2:3, :])
+        a0_scr[...] = _leaky(a0_scr[...] + jnp.broadcast_to(
+            addq_ref[...][None], (k, tm, c)).reshape(k * tm, c) + dirw)
+        h0_ref[...] = a0_scr[...].astype(jnp.bfloat16)
+    # a0_scr holds the f32 MLP-chain input; the chain runs in f32 with
+    # bf16-operand dots exactly as before, each post-activation stashed
+    # as a bf16 copy (the dots consumed bf16(act) anyway)
+    h2d = a0_scr[...]
     for li in range(n_mlp):
         w = w_refs[2 * li][...]
         b = w_refs[2 * li + 1][...]
-        act_refs[li][...] = _leaky(
+        h2d = _leaky(
             jax.lax.dot(h2d.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32) + b)
-        h2d = act_refs[li][...]
+        act_refs[li][...] = h2d.astype(jnp.bfloat16)
     h_last = h2d
     wacts = _mlp_chain(dirs_ref[...], w_refs, n_mlp, 3,
                        lambda x: jnp.maximum(x, 0.0))
@@ -203,31 +251,56 @@ def _fwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
 def _bwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
                 addq_ref, wdir_ref, *refs, k: int, n_mlp: int, c: int,
                 has_add: bool):
+    stash_h0 = has_add
     w_refs = refs[:2 * (n_mlp + 3)]
     rest = refs[2 * (n_mlp + 3):]
-    dout_ref, ids_ref, dirs_ref, h0_ref = rest[:4]
-    act_refs = rest[4:4 + n_mlp]         # STASHED mlp post-activations
-    outs = rest[4 + n_mlp:]
+    dout_ref, ids_ref, dirs_ref = rest[:3]
+    rest = rest[3:]
+    h0_ref = None
+    if stash_h0:
+        h0_ref, rest = rest[0], rest[1:]
+    act_refs = rest[:n_mlp]              # STASHED mlp post-acts (bf16)
+    outs = rest[n_mlp:]
     # outputs: dfeatsp, daddq, dq, dpoints, dwdir, (dw, db) × (n_mlp+3)
     dfeatsp_ref, daddq_ref, dq_ref, dpts_ref, dwdir_ref = outs[:5]
     dw_refs = outs[5:]
     scr = dw_refs[2 * (n_mlp + 3):]
     dw_refs = dw_refs[:2 * (n_mlp + 3)]
     d_ref = scr[0]                       # (k·TM, C) cotangent ping
-    wn_refs = scr[1:]                    # 3 weightnet post-activations
+    wn_refs = scr[1:4]                   # 3 weightnet post-activations
+    a0_scr = scr[4] if not stash_h0 else None
 
     tm = q_ref.shape[0]
     m_pts = xpt_ref.shape[1]
 
     # ---- forward state arrives STASHED from the fwd kernel --------------
-    # (selection ids, directions, the MLP-chain input h0 = a0|slots and
-    # every MLP post-activation — the gather + layer-1 + MLP-dot
-    # recompute they replace was ~45% of this kernel). Only the cheap
-    # WeightNet chain is re-run, from the stashed directions: three
-    # narrow dots against ~17 MB/stream of extra stash DMA.
+    # (selection ids, directions, and — in bf16 — the leaky MLP-chain
+    # input a0 (has_add only) and every MLP post-activation; the gather
+    # + layer-1 + MLP-dot recompute they replace was ~45% of this
+    # kernel). The bf16 reads are the values the backward's dots
+    # truncated to anyway (dW a_prev operands: bit-identical); only
+    # h_last's role in the product rule and the leaky'/relu' sign masks
+    # see the bf16 rounding class (sign is preserved by bf16 rounding
+    # except exactly-denormal values). Raw slots (no layer-1
+    # nonlinearity, stash_h0=False) are instead recomputed from the
+    # stashed ids by the forward's exact one-hot-dot expression —
+    # bit-identical — skipping the (k·N, C) stash round-trip entirely.
+    # Only the cheap WeightNet chain re-runs from the stashed dirs.
     idcol_of = _ids_block_reader(ids_ref, tm)
-    a0 = h0_ref[...]
-    h_last = act_refs[n_mlp - 1][...] if n_mlp else a0
+    if stash_h0:
+        a0 = h0_ref[...].astype(jnp.float32)
+    else:
+        cols0 = jax.lax.broadcasted_iota(
+            jnp.int32, (1, m_pts), 1).astype(jnp.float32)
+        g0 = min(k, _SLOT_BLOCK)
+        featsp_b = featsp_ref[...]
+        for s0 in range(0, k, g0):
+            ohb = _slot_oh(idcol_of, s0, g0, cols0).astype(jnp.bfloat16)
+            a0_scr[s0 * tm:(s0 + g0) * tm, :] = jax.lax.dot(
+                ohb, featsp_b, preferred_element_type=jnp.float32)
+        a0 = a0_scr[...]
+    h_last = (act_refs[n_mlp - 1][...].astype(jnp.float32) if n_mlp
+              else a0)
     d = dirs_ref[...]
     for li in range(3):
         w = w_refs[2 * (n_mlp + li)][...]
@@ -264,7 +337,10 @@ def _bwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
 
     # ---- pair-MLP chain backward ---------------------------------------
     for li in range(n_mlp - 1, -1, -1):
-        a = act_refs[li][...]
+        # f32 read: Mosaic has no bf16 compare; sign is preserved by the
+        # bf16 stash rounding (a > 0 ⇒ bf16(a) >= 0, equality only on
+        # sub-bf16-denormal values)
+        a = act_refs[li][...].astype(jnp.float32)
         lk = jnp.where(a > 0.0, 1.0, 0.1)
         dz = dh * lk
         a_prev = act_refs[li - 1][...] if li > 0 else a0
@@ -310,12 +386,18 @@ def _bwd_kernel(xpt_ref, sqp_ref, maskf_ref, q_ref, featsp_ref,
             oh.astype(jnp.bfloat16), dblk.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        # exact dpoints scatter via the cotangent's bf16 split: every
+        # 0/1 × bf16-part product is exact in the f32 accumulator and
+        # the part sums reassemble each addend bit-exactly, so this is
+        # the HIGHEST f32 scatter's class (f32-accumulated exact
+        # addends) at 3 single bf16 passes instead of ~6
         ddblk = ddirs[s0 * tm:(s0 + g) * tm, :]
-        dpts_ref[...] += jax.lax.dot_general(
-            oh.astype(jnp.float32), ddblk,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        ohb2 = oh.astype(jnp.bfloat16)
+        for part in _bf16_parts(ddblk):
+            dpts_ref[...] += jax.lax.dot_general(
+                ohb2, part,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 def _full():
@@ -328,22 +410,26 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
     """Build the fwd/bwd correlator-train cores for one config.
 
     NOTE (stash cost): the forward ALWAYS materializes the backward's
-    stash — ids, dirs, h0 and every MLP post-activation (~17 MB/stream
-    at the flagship config) — because pallas_call outputs cannot be
-    individually dead-code-eliminated. A loss-only (primal, undiff'd)
-    forward through the train graph therefore pays the stash HBM
-    traffic for nothing; use the eval-path correlator for inference.
+    stash — ids, dirs (f32) and, when has_add, bf16 a0 + every MLP
+    post-activation (~13 MB/stream at the flagship stage-1 config) —
+    because pallas_call outputs cannot be individually
+    dead-code-eliminated. A loss-only (primal, undiff'd) forward
+    through the train graph therefore pays the stash HBM traffic for
+    nothing; use the eval-path correlator for inference.
     """
     # VMEM head-check for NEW configs (ADVICE r3): the backend's
     # pipelined/stacked buffers measured ~4.2× the naive block-byte sum
-    # at the flagship config (naive ~29 MB → 123.20 MB scoped-vmem on
-    # the bwd kernel), so gate on 4× the naive sum. The flagship passes
-    # with ~9% margin; a wider/deeper config fails HERE with a sizing
-    # message instead of a backend-compiler OOM.
+    # at the flagship f32-stash config (naive ~29 MB → 123.20 MB
+    # scoped-vmem on the bwd kernel), so gate on 4× the naive byte sum.
+    # The flagship passes with margin; a wider/deeper config fails HERE
+    # with a sizing message instead of a backend-compiler OOM.
+    stash_h0 = has_add
     mlp_d = [w_shapes[i][1] for i in range(n_mlp)]
-    stash_rows = k * n * (1 + 3 + c + sum(mlp_d))
-    resident = 4 * (stash_rows + n * c_out + m * (3 + 2 * c) + n * 3
-                    + sum(a * b for a, b in w_shapes))
+    stash_bytes = k * n * (4 * (1 + 3) + (2 * c if stash_h0 else 0)
+                           + 2 * sum(mlp_d))
+    resident = (stash_bytes + 4 * k * n * c        # f32 compute scratch
+                + 4 * (n * c_out + m * (3 + 2 * c) + n * 3
+                       + sum(a * b for a, b in w_shapes)))
     if 4 * resident > _VMEM_LIMIT:
         raise ValueError(
             f"correlator-train config (k={k}, n={n}, m={m}, c={c}, "
@@ -374,30 +460,35 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
                      _stream(3, c if has_add else 1)]
                     + [_full()] * (2 * n_wb))
         # stash outputs for the recompute-free backward: selection ids,
-        # directions, the MLP-chain input h0 (a0|raw slots) and each MLP
-        # post-activation
-        out_specs = ([_stream(n, c_out), _stream(k * n, 1),
-                      _stream(k * n, 3), _stream(k * n, c)]
-                     + [_stream(k * n, d) for d in mlp_dims])
-        out_shape = ([jax.ShapeDtypeStruct((b, n, c_out), jnp.float32),
-                      jax.ShapeDtypeStruct((b, k * n, 1), jnp.float32),
-                      jax.ShapeDtypeStruct((b, k * n, 3), jnp.float32),
-                      jax.ShapeDtypeStruct((b, k * n, c), jnp.float32)]
-                     + [jax.ShapeDtypeStruct((b, k * n, d), jnp.float32)
-                        for d in mlp_dims])
+        # directions (f32, exact), then — bf16 copies of the f32 chain —
+        # the leaky MLP input a0 (has_add only; raw slots recompute from
+        # ids) and each MLP post-activation
+        out_specs = [_stream(n, c_out), _stream(k * n, 1),
+                     _stream(k * n, 3)]
+        out_shape = [jax.ShapeDtypeStruct((b, n, c_out), jnp.float32),
+                     jax.ShapeDtypeStruct((b, k * n, 1), jnp.float32),
+                     jax.ShapeDtypeStruct((b, k * n, 3), jnp.float32)]
+        if stash_h0:
+            out_specs.append(_stream(k * n, c))
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, k * n, c), jnp.bfloat16))
+        out_specs += [_stream(k * n, d) for d in mlp_dims]
+        out_shape += [jax.ShapeDtypeStruct((b, k * n, d), jnp.bfloat16)
+                      for d in mlp_dims]
         outs = pl.pallas_call(
             kernel,
             grid=(b,),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
+            scratch_shapes=[pltpu.VMEM((k * n, c), jnp.float32)],
             compiler_params=params,
             interpret=interpret,
         )(xptb, sqpb, maskfb, qb, featspb, addqb, wdirb, *wbs)
-        return outs[0], outs[1], outs[2], outs[3], tuple(outs[4:])
+        return outs[0], outs[1], outs[2], tuple(outs[3:])
 
     def _run_bwd(b, xptb, sqpb, maskfb, qb, featspb, addqb, wdirb,
-                 wbs, doutb, idsb, dirsb, h0b, actsb):
+                 wbs, doutb, idsb, dirsb, stashb):
         kernel = functools.partial(_bwd_kernel, k=k, n_mlp=n_mlp, c=c,
                                    has_add=has_add)
         in_specs = ([_stream(3, m), _stream(1, m), _stream(1, m),
@@ -406,7 +497,8 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
                      _stream(3, c if has_add else 1)]
                     + [_full()] * (2 * n_wb)
                     + [_stream(n, c_out), _stream(k * n, 1),
-                       _stream(k * n, 3), _stream(k * n, c)]
+                       _stream(k * n, 3)]
+                    + ([_stream(k * n, c)] if stash_h0 else [])
                     + [_stream(k * n, d) for d in mlp_dims])
         out_shape = (
             [jax.ShapeDtypeStruct((b, m, c), jnp.float32),    # dfeatsp
@@ -432,11 +524,13 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
             scratch_shapes=(
                 [pltpu.VMEM((k * n, c), jnp.float32)]      # dz0 park
                 + [pltpu.VMEM((k * n, d), jnp.float32)
-                   for d in wn_dims]),                     # wn acts
+                   for d in wn_dims]                       # wn acts
+                + ([] if stash_h0 else
+                   [pltpu.VMEM((k * n, c), jnp.float32)])),  # a0 regather
             compiler_params=params,
             interpret=interpret,
         )(xptb, sqpb, maskfb, qb, featspb, addqb, wdirb, *wbs, doutb,
-          idsb, dirsb, h0b, *actsb)
+          idsb, dirsb, *stashb)
         dfeatsp, daddq, dq, dpts, dwdir = outs[:5]
         dwb = outs[5:]
         return dfeatsp, daddq, dq, dpts, dwdir, tuple(dwb)
@@ -470,16 +564,16 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
 
     @jax.custom_batching.custom_vmap
     def bwd_call(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, dout,
-                 ids, dirs, h0, acts):
+                 ids, dirs, stash):
         outs = _run_bwd(1, xpt[None], sqp[None], maskf[None], qx[None],
                         _prep(1, featsp[None]), addq[None], wdir[None],
                         wbs, dout[None], ids[None], dirs[None],
-                        h0[None], tuple(a[None] for a in acts))
+                        tuple(s[None] for s in stash))
         return jax.tree_util.tree_map(lambda x: x[0], outs)
 
     @bwd_call.def_vmap
     def _bwd_vmap(axis_size, in_batched, xpt, sqp, maskf, qx, featsp,
-                  addq, wdir, wbs, dout, ids, dirs, h0, acts):
+                  addq, wdir, wbs, dout, ids, dirs, stash):
         if any(jax.tree_util.tree_leaves(in_batched[7])):
             raise NotImplementedError("vmap over correlator params")
         b = axis_size
@@ -489,12 +583,11 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
         doutb = _bcast(dout, in_batched[8], b)
         idsb = _bcast(ids, in_batched[9], b)
         dirsb = _bcast(dirs, in_batched[10], b)
-        h0b = _bcast(h0, in_batched[11], b)
-        actsb = tuple(_bcast(a, bt, b) for a, bt in
-                      zip(acts, in_batched[12]))
+        stashb = tuple(_bcast(s, bt, b) for s, bt in
+                       zip(stash, in_batched[11]))
         outs = _run_bwd(b, args[0], args[1], args[2], args[3],
                         _prep(b, args[4]), args[5], args[6], wbs,
-                        doutb, idsb, dirsb, h0b, actsb)
+                        doutb, idsb, dirsb, stashb)
         batched = jax.tree_util.tree_map(lambda _: True, outs)
         return outs, batched
 
@@ -504,17 +597,17 @@ def _make_core(k: int, n_mlp: int, c: int, c_out: int, n: int, m: int,
                         wbs)[0]
 
     def core_fwd(xpt, sqp, maskf, qx, featsp, addq, wdir, wbs):
-        out, ids, dirs, h0, acts = fwd_call(xpt, sqp, maskf, qx,
-                                            featsp, addq, wdir, wbs)
+        out, ids, dirs, stash = fwd_call(xpt, sqp, maskf, qx,
+                                         featsp, addq, wdir, wbs)
         return out, (xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, ids,
-                     dirs, h0, acts)
+                     dirs, stash)
 
     def core_bwd(res, dout):
-        (xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, ids, dirs, h0,
-         acts) = res
+        (xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, ids, dirs,
+         stash) = res
         dfeatsp, daddq, dq, dpts, dwdir, dwb = bwd_call(
             xpt, sqp, maskf, qx, featsp, addq, wdir, wbs, dout, ids,
-            dirs, h0, acts)
+            dirs, stash)
         # dpoints arrives per-point; xpt is its transpose
         return (dpts.T, jnp.zeros_like(sqp), jnp.zeros_like(maskf),
                 dq, dfeatsp,

@@ -23,10 +23,12 @@ hand-written CUDA forwards/backwards (`src/lib/src/ball_query_gpu.cu:9-46`,
   * layer 1 factorizes through the pair structure exactly as in the
     eval kernel: g1[m,s] = P1[idx[m,s]] - CW[m], with P1/CW two small
     HIGHEST matmuls hoisted outside;
-  * slot gathers are exact one-hot matmuls in ONE bf16 MXU pass against
-    the stacked 3-way bf16 split of P1 (see ops/sampling.py
-    _bf16_parts: each part is exactly bf16-representable, each output
-    sums exactly one (hi, mid, lo) triple);
+  * slot gathers are exact one-hot matmuls against the lane-stacked
+    bf16 split of P1 (see ops/sampling.py _bf16_parts: each part is
+    exactly bf16-representable, each output sums one part tuple) —
+    3 parts under interpret (bit-exact for any f32), 2 on the real TPU
+    (bit-exact there: v5e HIGHEST hoist outputs carry ≤17 significand
+    bits — see SPLIT_PARTS);
   * MLP layers 2..L run as bf16-operand dots — the same numerics class
     as the unfused path's DEFAULT-precision f32 Dense (single bf16 MXU
     pass);
@@ -66,20 +68,93 @@ from .sampling import _bf16_parts
 # larger than Mosaic's 16M default scoped limit
 _VMEM_LIMIT = 112 * 1024 * 1024
 
+# Number of bf16 parts in the split one-hot GATHER dots on the REAL-TPU
+# path (the dominant MXU cost of these kernels: every P1 row is fetched
+# through `parts` single-pass bf16 dots). Interpret mode (CPU) always
+# uses 3 — see _eff_parts.
+#   3 — bit-exact for any f32 (hi+mid+lo covers all 24 significand bits);
+#   2 — bit-exact ON THE REAL TPU for the P1/CW tables these kernels
+#       gather: the HIGHEST-precision layer-1 hoist dots that produce
+#       them emit values with ≤17 significand bits on v5e (measured:
+#       p1 - (hi + mid) == 0 EXACTLY, |lo| == 0, over 512×64 VoD-scale
+#       probes — tools-level probe recorded in NOTES_ROUND4.md), so the
+#       third MXU pass multiplied zeros. Worst THEORETICAL case for a
+#       full-mantissa table is ≤2⁻¹⁷ relative before the ≲2⁶ pair
+#       cancellation (|P1|/|g1| on VoD coordinates) → ≥11 bits ≈ 5e-4,
+#       still tighter than the bf16-operand class (2⁻⁸) every
+#       downstream DEFAULT dot imposes. A/B on the real chip (train
+#       512pt/8streams): 684.8 → 741.6 fps.
+# Env override RATRACK_SA_SPLIT_PARTS is for A/B measurement only
+# (static at import; programs must be recompiled to change it).
+SPLIT_PARTS = int(__import__("os").environ.get(
+    "RATRACK_SA_SPLIT_PARTS", "2"))
 
-def _bf16_cat3(v: jnp.ndarray) -> jnp.ndarray:
-    """(R, C) f32 → (R, 3C) bf16 [hi | mid | lo], Σ parts == v exactly.
+# Parts for the BACKWARD's cotangent scatter dots (dP1 = Σ onehotᵀ@dG1)
+# on the real-TPU path. Cotangents are FULL-mantissa f32 (products of
+# upstream bf16 dots), so 2 parts here are NOT bit-exact — but there is
+# no cancellation amplification (the scatter is a pure sum of routed
+# rows), so each dropped part costs only its own magnitude: ≤2⁻¹⁷
+# relative per addend at 2 parts (measured on-chip: dW1 maxdiff 1.3e-2
+# of 509-scale ≈ 2.5e-5 relative), 2⁻⁹ at 1 part (the truncation class
+# every bf16-operand backward dot upstream already applied to the
+# values that PRODUCED dG1).
+SCATTER_PARTS = int(__import__("os").environ.get(
+    "RATRACK_SA_SCATTER_PARTS", str(SPLIT_PARTS)))
 
-    Lane-concat + a 3-slice fold after the dot measured FASTER than
-    stacking parts along the contracted axis (310 vs 403 fps end-to-end:
-    the 3×-wide one-hot build and tripled K cost more than the
-    lane-offset folds)."""
-    return jnp.concatenate(_bf16_parts(v.astype(jnp.float32)), axis=1)
+
+def _eff_parts(interpret: bool) -> tuple:
+    """(gather_parts, scatter_parts) for this backend path.
+
+    Interpret mode (CPU tests) keeps the bit-exact 3-part split: there
+    the layer-1 hoist is a true f32 dot whose outputs carry full 24-bit
+    mantissas. On the real TPU the HIGHEST-precision hoist dots emit
+    values with <= 17 significand bits (measured: p1 - (hi + mid) == 0
+    exactly, |lo| == 0 over 512x64 VoD-scale probes), so the 2-part
+    gather is BIT-EXACT on hardware and the third MXU pass multiplied
+    zeros. Scatter cotangents are full-mantissa f32: 2 parts keep
+    <= 2^-17 relative per addend (no cancellation amplification)."""
+    if interpret:
+        return 3, 3
+    return SPLIT_PARTS, SCATTER_PARTS
 
 
-def _fold3(o3: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Undo _bf16_cat3 after a one-hot dot: sum the three part lanes."""
-    return o3[..., :c] + o3[..., c:2 * c] + o3[..., 2 * c:]
+def _bf16_cat3(v: jnp.ndarray, parts: int) -> jnp.ndarray:
+    """(R, C) f32 → (R, parts·C) bf16 [hi | mid | lo?], Σ parts ≈ v.
+
+    parts=3 reassembles v bit-exactly (24 significand bits); parts=2
+    keeps ≥17 bits (relative error ≤ 2⁻¹⁷); parts=1 is plain bf16
+    truncation — see SPLIT_PARTS/SCATTER_PARTS for where each is safe.
+    Lane-concat + a per-part-slice fold after the dot measured FASTER
+    than stacking parts along the contracted axis (310 vs 403 fps
+    end-to-end: the wider one-hot build and multiplied K cost more than
+    the lane-offset folds)."""
+    p = parts
+    v = v.astype(jnp.float32)
+    hi = v.astype(jnp.bfloat16)
+    if p == 1:
+        return hi
+    r = v - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    if p == 2:
+        return jnp.concatenate([hi, mid], axis=1)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=1)
+
+
+def _fold3(o3: jnp.ndarray, c: int, parts: int) -> jnp.ndarray:
+    """Undo _bf16_cat3 after a one-hot dot: sum the part lanes."""
+    p = parts
+    out = o3[..., :c]
+    for i in range(1, p):
+        out = out + o3[..., i * c:(i + 1) * c]
+    return out
+
+
+def _split_cat(v: jnp.ndarray, axis: int, parts: int) -> jnp.ndarray:
+    """bf16 split-parts concat along `axis` (outside-kernel p1cat build),
+    truncated to `parts` parts."""
+    return jnp.concatenate(_bf16_parts(v.astype(jnp.float32))[:parts],
+                           axis=axis)
 
 
 def _selection(xt, sqx, maskf, ut, c, r2):
@@ -102,7 +177,8 @@ def _selection(xt, sqx, maskf, ut, c, r2):
 _SLOT_BLOCK = 8
 
 
-def _gather_slots(rank, hits, p1cat, p1row0, cw, ns, c1, m, act_ref):
+def _gather_slots(rank, hits, p1cat, p1row0, cw, ns, c1, m, act_ref,
+                  gp: int):
     """Materialize g1 = grouped(P1) - CW with CUDA duplicate padding
     into act_ref ((ns·M, C1)); returns nothing (writes the ref).
 
@@ -120,7 +196,7 @@ def _gather_slots(rank, hits, p1cat, p1row0, cw, ns, c1, m, act_ref):
         sv = s_io[:, 0:1, 0:1] + (s0 + 1.0)                # slot ranks
         oh = (rank[None] == sv).astype(jnp.bfloat16).reshape(g * m, -1)
         o3 = jax.lax.dot(oh, p1cat, preferred_element_type=jnp.float32)
-        return _fold3(o3, c1)
+        return _fold3(o3, c1, gp)
 
     sb0 = block(0.0)
     first = jnp.where(hits > 0.0, sb0[0:m], p1row0)        # (m, c1)
@@ -150,7 +226,7 @@ def _batch_stats(x, count):
 
 def _fwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
                 p1cat_ref, p1row0_ref, *refs, r2: float, ns: int,
-                cs: Sequence[int], eps: float):
+                cs: Sequence[int], eps: float, gp: int):
     """Forward: pooled (M, C_L) + per-layer batch (mu, var)."""
     n_layers = len(cs)
     ws = refs[:n_layers - 1]
@@ -168,7 +244,7 @@ def _fwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
     rank, hits = _selection(xt_ref[...], sqx_ref[...], maskf_ref[...],
                             ut_ref[...], c_ref[...], r2)
     _gather_slots(rank, hits, p1cat_ref[...], p1row0_ref[...],
-                  cw_ref[...], ns, cs[0], m, act_refs[0])
+                  cw_ref[...], ns, cs[0], m, act_refs[0], gp)
 
     for li in range(n_layers):
         if li > 0:
@@ -191,7 +267,7 @@ def _fwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
 
 def _bwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
                 p1cat_ref, p1row0_ref, *refs, r2: float, ns: int,
-                cs: Sequence[int], eps: float):
+                cs: Sequence[int], eps: float, gp: int, sp: int):
     """Backward: recompute forward, backprop pool/BN/Dense, scatter dP1."""
     n_layers = len(cs)
     ws = refs[:n_layers - 1]
@@ -215,7 +291,7 @@ def _bwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
     rank, hits = _selection(xt_ref[...], sqx_ref[...], maskf_ref[...],
                             ut_ref[...], c_ref[...], r2)
     _gather_slots(rank, hits, p1cat_ref[...], p1row0_ref[...],
-                  cw_ref[...], ns, cs[0], m, xhat_refs[0])
+                  cw_ref[...], ns, cs[0], m, xhat_refs[0], gp)
 
     # forward recompute, storing per-layer XHAT (normalized pre-affine);
     # activations derive from it on the fly: a = relu(xhat·scale + bias)
@@ -302,17 +378,17 @@ def _bwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
                 oh = (rank[None] == sv).astype(
                     jnp.bfloat16).reshape(g * m, -1)
                 return _fold3(jax.lax.dot_general(
-                    oh, _bf16_cat3(eff),
+                    oh, _bf16_cat3(eff, sp),
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32), c1)
+                    preferred_element_type=jnp.float32), c1, sp)
 
             # live-slot scatters, + the duplicate cotangents via the
             # rank-1 one-hot, + no-hit rows onto point 0
             oh1 = (rank == 1.0).astype(jnp.bfloat16)
             dp1_ref[...] = _fold3(jax.lax.dot_general(
-                oh1, _bf16_cat3(jnp.where(hits > 0.0, extra, 0.0)),
+                oh1, _bf16_cat3(jnp.where(hits > 0.0, extra, 0.0), sp),
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32), c1)
+                preferred_element_type=jnp.float32), c1, sp)
             dp1_ref[...] += scat_block(jnp.int32(0))
 
             def body(i, _):
@@ -322,9 +398,9 @@ def _bwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
             jax.lax.fori_loop(1, nblk, body, 0)
             ex0 = jnp.where(hits > 0.0, 0.0, extra)
             ones = jnp.ones((1, m), jnp.bfloat16)
-            row0 = _fold3(jax.lax.dot(ones, _bf16_cat3(ex0),
+            row0 = _fold3(jax.lax.dot(ones, _bf16_cat3(ex0, sp),
                                       preferred_element_type=jnp.float32),
-                          c1)
+                          c1, sp)
             dp1_ref[0:1, :] += row0
 
 
@@ -356,7 +432,7 @@ def _bwd_kernel(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
 
 def _fwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
                    p1cat_ref, p1row0_ref, *refs, r2: float, ns: int,
-                   cs: Sequence[int], eps: float, pk: int):
+                   cs: Sequence[int], eps: float, pk: int, gp: int):
     """Packed forward: refs carry (pk, ...) stream blocks; weight refs are
     block-diagonal / lane-tiled; outputs are lane-packed per stream."""
     n_layers = len(cs)
@@ -375,7 +451,7 @@ def _fwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
 
     ranks, hits_lanes, first0 = _packed_selection_gather(
         xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref, p1cat_ref,
-        p1row0_ref, act_refs[0], r2=r2, ns=ns, c1=c1, m=m, pk=pk)
+        p1row0_ref, act_refs[0], r2=r2, ns=ns, c1=c1, m=m, pk=pk, gp=gp)
     del ranks, hits_lanes, first0
 
     for li in range(n_layers):
@@ -399,7 +475,7 @@ def _fwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
 
 def _packed_selection_gather(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref,
                              cw_ref, p1cat_ref, p1row0_ref, act0_ref, *,
-                             r2, ns, c1, m, pk):
+                             r2, ns, c1, m, pk, gp):
     """Per-stream selection + packed g1 materialization into act0_ref.
 
     Returns (ranks list, hits_lanes (m, pk·c1), first (m, pk·c1)) for
@@ -428,7 +504,7 @@ def _packed_selection_gather(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref,
                 g * m, -1)
             pieces.append(_fold3(jax.lax.dot(
                 oh, p1cat_ref[p], preferred_element_type=jnp.float32),
-                c1))
+                c1, gp))
         return jnp.concatenate(pieces, axis=1)          # (g·m, pk·c1)
 
     sb0 = block(0.0)
@@ -453,7 +529,8 @@ def _packed_selection_gather(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref,
 
 def _bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
                    p1cat_ref, p1row0_ref, *refs, r2: float, ns: int,
-                   cs: Sequence[int], eps: float, pk: int):
+                   cs: Sequence[int], eps: float, pk: int, gp: int,
+                   sp: int):
     """Packed backward: recompute forward packed, backprop, scatter dP1
     per stream (value lane-slices feed the exact per-stream one-hots)."""
     n_layers = len(cs)
@@ -477,7 +554,7 @@ def _bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
 
     ranks, hits_lanes, _first = _packed_selection_gather(
         xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref, p1cat_ref,
-        p1row0_ref, xhat_refs[0], r2=r2, ns=ns, c1=c1, m=m, pk=pk)
+        p1row0_ref, xhat_refs[0], r2=r2, ns=ns, c1=c1, m=m, pk=pk, gp=gp)
 
     mus, invs = [], []
     a_prev = None
@@ -557,16 +634,16 @@ def _bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
                     oh = (_rank[None] == sv).astype(
                         jnp.bfloat16).reshape(g * m, -1)
                     return _fold3(jax.lax.dot_general(
-                        oh, _bf16_cat3(eff),
+                        oh, _bf16_cat3(eff, sp),
                         dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32), c1)
+                        preferred_element_type=jnp.float32), c1, sp)
 
                 extra_p = extra[:, p * c1:(p + 1) * c1]
                 oh1 = (rank_p == 1.0).astype(jnp.bfloat16)
                 dp1_ref[p] = _fold3(jax.lax.dot_general(
-                    oh1, _bf16_cat3(jnp.where(hits_p > 0.0, extra_p, 0.0)),
+                    oh1, _bf16_cat3(jnp.where(hits_p > 0.0, extra_p, 0.0), sp),
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32), c1)
+                    preferred_element_type=jnp.float32), c1, sp)
                 dp1_ref[p] += scat_block(jnp.int32(0))
 
                 def body(i, _, _scat=scat_block, _p=p):
@@ -577,12 +654,13 @@ def _bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, cw_ref,
                 ex0 = jnp.where(hits_p > 0.0, 0.0, extra_p)
                 ones = jnp.ones((1, m), jnp.bfloat16)
                 row0 = _fold3(jax.lax.dot(
-                    ones, _bf16_cat3(ex0),
-                    preferred_element_type=jnp.float32), c1)
+                    ones, _bf16_cat3(ex0, sp),
+                    preferred_element_type=jnp.float32), c1, sp)
                 dp1_ref[p, 0:1, :] += row0
 
 
-def _pick_pk(b: int, cs: tuple, n: int, m: int, ns: int) -> int:
+def _pick_pk(b: int, cs: tuple, n: int, m: int, ns: int,
+             gp: int) -> int:
     """Largest stream-packing factor that fills the narrowest layer's
     lane tile, divides the batch, and fits the backward in scoped VMEM."""
     want = max(1, 128 // min(cs))
@@ -591,7 +669,7 @@ def _pick_pk(b: int, cs: tuple, n: int, m: int, ns: int) -> int:
             continue
         scratch = 2 * ns * m * pk * sum(cs) * 4           # xhat + d
         aux = (pk * m * n * 4                             # ranks
-               + pk * n * 3 * cs[0] * 2                   # p1cat
+               + pk * n * gp * cs[0] * 2                   # p1cat
                + n * n * 2                                # ut
                + min(ns, _SLOT_BLOCK) * m * n * 2         # one-hot temp
                + 2 * min(ns, _SLOT_BLOCK) * m * pk * cs[0] * 4)
@@ -614,6 +692,7 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
     xt/sqx/maskf/c receive zero gradients (index selection, like the
     reference's int-index CUDA ops).
     """
+    gp, sp = _eff_parts(interpret)
     n_layers = len(cs)
     c1, c_last = cs[0], cs[-1]
     params = pltpu.CompilerParams(
@@ -636,10 +715,9 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
         dispatch overhead measured ~30 µs × 24 programs/frame under the
         earlier per-stream lax.map; the grid amortizes it 8×."""
         ut = jnp.triu(jnp.ones((n, n), jnp.bfloat16))
-        parts = _bf16_parts(p1b.astype(jnp.float32))
-        p1catb = jnp.concatenate(parts, axis=2)            # (B, N, 3C1)
+        p1catb = _split_cat(p1b, axis=2, parts=gp)  # (B, N, gp*C1)
         p1row0b = p1b[:, 0:1, :]
-        kernel = functools.partial(_fwd_kernel, r2=r2, ns=ns, cs=cs,
+        kernel = functools.partial(_fwd_kernel, gp=gp, r2=r2, ns=ns, cs=cs,
                                    eps=eps)
         out_shape = ([jax.ShapeDtypeStruct((b, m, c_last), jnp.float32)]
                      + [jax.ShapeDtypeStruct((b, 1, ci), jnp.float32)
@@ -648,7 +726,7 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
                      + [_stream(1, ci) for ci in cs] * 2)
         in_specs = ([_stream(3, n), _stream(1, n), _stream(1, n),
                      _full(), _stream(m, 3), _stream(m, c1),
-                     _stream(n, 3 * c1), _stream(1, c1)]
+                     _stream(n, gp * c1), _stream(1, c1)]
                     + [_full()] * (n_layers - 1 + 2 * n_layers))
         outs = pl.pallas_call(
             kernel,
@@ -673,10 +751,10 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
     def _run_bwd(b, xtb, sqxb, maskfb, cb, p1b, cwb, ws_rest, scales,
                  biases, dpooledb):
         ut = jnp.triu(jnp.ones((n, n), jnp.bfloat16))
-        parts = _bf16_parts(p1b.astype(jnp.float32))
-        p1catb = jnp.concatenate(parts, axis=2)            # (B, N, 3C1)
+        p1catb = _split_cat(p1b, axis=2, parts=gp)  # (B, N, gp*C1)
         p1row0b = p1b[:, 0:1, :]
-        kernel = functools.partial(_bwd_kernel, r2=r2, ns=ns, cs=cs,
+        kernel = functools.partial(_bwd_kernel, gp=gp, sp=sp, r2=r2, ns=ns,
+                                   cs=cs,
                                    eps=eps)
         out_shape = (
             [jax.ShapeDtypeStruct((b, n, c1), jnp.float32),   # dp1
@@ -690,7 +768,7 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
                      + [_stream(1, ci) for ci in cs] * 2)
         in_specs = ([_stream(3, n), _stream(1, n), _stream(1, n),
                      _full(), _stream(m, 3), _stream(m, c1),
-                     _stream(n, 3 * c1), _stream(1, c1)]
+                     _stream(n, gp * c1), _stream(1, c1)]
                     + [_full()] * (n_layers - 1 + 2 * n_layers)
                     + [_stream(m, c_last)])
         outs = pl.pallas_call(
@@ -722,8 +800,8 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
         return wbd, sc, bs
 
     def _pack_streams(pk, bg, xtb, sqxb, maskfb, cb, p1b, cwb):
-        parts = _bf16_parts(p1b.astype(jnp.float32))
-        p1catb = jnp.concatenate(parts, axis=2).reshape(bg, pk, n, 3 * c1)
+        p1catb = _split_cat(p1b, axis=2,
+                            parts=gp).reshape(bg, pk, n, gp * c1)
         return (xtb.reshape(bg, pk, 3, n), sqxb.reshape(bg, pk, 1, n),
                 maskfb.reshape(bg, pk, 1, n), cb.reshape(bg, pk, m, 3),
                 cwb.reshape(bg, pk, m, c1), p1catb,
@@ -738,7 +816,7 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
         xtp, sqxp, maskfp, cp, cwp, p1catp, p1row0p = _pack_streams(
             pk, bg, xtb, sqxb, maskfb, cb, p1b, cwb)
         wbd, sc, bs = _pack_params(pk, ws_rest, scales, biases)
-        kernel = functools.partial(_fwd_kernel_pk, r2=r2, ns=ns, cs=cs,
+        kernel = functools.partial(_fwd_kernel_pk, gp=gp, r2=r2, ns=ns, cs=cs,
                                    eps=eps, pk=pk)
         out_shape = ([jax.ShapeDtypeStruct((bg, m, pk * c_last),
                                            jnp.float32)]
@@ -748,7 +826,7 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
                      + [_stream(1, pk * ci) for ci in cs] * 2)
         in_specs = ([_stream(pk, 3, n), _stream(pk, 1, n),
                      _stream(pk, 1, n), _full(), _stream(pk, m, 3),
-                     _stream(pk, m, c1), _stream(pk, n, 3 * c1),
+                     _stream(pk, m, c1), _stream(pk, n, gp * c1),
                      _stream(pk, 1, c1)]
                     + [_full()] * (n_layers - 1 + 2 * n_layers))
         outs = pl.pallas_call(
@@ -779,7 +857,8 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
         wbd, sc, bs = _pack_params(pk, ws_rest, scales, biases)
         dpooledp = dpooledb.reshape(bg, pk, m, c_last).transpose(
             0, 2, 1, 3).reshape(bg, m, pk * c_last)
-        kernel = functools.partial(_bwd_kernel_pk, r2=r2, ns=ns, cs=cs,
+        kernel = functools.partial(_bwd_kernel_pk, gp=gp, sp=sp, r2=r2, ns=ns,
+                                   cs=cs,
                                    eps=eps, pk=pk)
         out_shape = (
             [jax.ShapeDtypeStruct((bg, pk, n, c1), jnp.float32),   # dp1
@@ -795,7 +874,7 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
                      + [_stream(1, pk * ci) for ci in cs] * 2)
         in_specs = ([_stream(pk, 3, n), _stream(pk, 1, n),
                      _stream(pk, 1, n), _full(), _stream(pk, m, 3),
-                     _stream(pk, m, c1), _stream(pk, n, 3 * c1),
+                     _stream(pk, m, c1), _stream(pk, n, gp * c1),
                      _stream(pk, 1, c1)]
                     + [_full()] * (n_layers - 1 + 2 * n_layers)
                     + [_stream(m, pk * c_last)])
@@ -847,7 +926,7 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
         b = axis_size
         args = [_bcast(x, bt, b) for x, bt in
                 zip((xt, sqx, maskf, c, p1, cw), in_batched[:6])]
-        pk = _pick_pk(b, cs, n, m, ns)
+        pk = _pick_pk(b, cs, n, m, ns, gp)
         if pk > 1:
             outs = _run_fwd_pk(b, pk, *args, ws_rest, scales, biases)
         else:
@@ -876,7 +955,7 @@ def _make_core(r2: float, ns: int, cs: tuple, n: int, m: int, eps: float,
         args = [_bcast(x, bt, b) for x, bt in
                 zip((xt, sqx, maskf, c, p1, cw), in_batched[:6])]
         dpooledb = _bcast(dpooled, in_batched[9], b)
-        pk = _pick_pk(b, cs, n, m, ns)
+        pk = _pick_pk(b, cs, n, m, ns, gp)
         if pk > 1:
             outs = _run_bwd_pk(b, pk, *args, ws_rest, scales, biases,
                                dpooledb)
@@ -1013,7 +1092,7 @@ def _pair_ranks(xt_ref, sqx_ref, maskf_ref, ut, c_ref, r2s, pk):
 
 
 def _packed_gather(ranks, hits, p1cat_ref, cw_ref, p1row0_ref, act0_ref,
-                   *, ns, c1, m, pk):
+                   *, ns, c1, m, pk, gp):
     """Packed g1 materialization for ONE scale from precomputed
     selection (the gather half of _packed_selection_gather); writes rows
     [0 : ns·m) of act0_ref (whose lane width is exactly pk·c1).
@@ -1036,7 +1115,7 @@ def _packed_gather(ranks, hits, p1cat_ref, cw_ref, p1row0_ref, act0_ref,
                 g * m, -1)
             pieces.append(_fold3(jax.lax.dot(
                 oh, p1cat_ref[p], preferred_element_type=jnp.float32),
-                c1))
+                c1, gp))
         return jnp.concatenate(pieces, axis=1)
 
     sb0 = block(0.0)
@@ -1060,7 +1139,7 @@ def _packed_gather(ranks, hits, p1cat_ref, cw_ref, p1row0_ref, act0_ref,
 
 
 def _pair_fwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
-                        r2s, nss, css, eps: float, pk: int):
+                        r2s, nss, css, eps: float, pk: int, gp: int):
     """Packed pair forward: shared selection, scales sequential through
     shared scratch. Emits the per-layer NORMALIZED activations (xhat,
     lane-packed) as outputs — the backward consumes them instead of
@@ -1092,7 +1171,7 @@ def _pair_fwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
         rows = ns * m
         count = jnp.float32(rows)
         _packed_gather(ranks[si], hits[si], p1cat_ref, cw_ref, row0_ref,
-                       act_refs[0], ns=ns, c1=cs[0], m=m, pk=pk)
+                       act_refs[0], ns=ns, c1=cs[0], m=m, pk=pk, gp=gp)
         for li in range(L):
             w = pk * cs[li]
             if li > 0:
@@ -1129,7 +1208,7 @@ def _hits_lanes_of(hits, m, c1, pk):
 
 
 def _pair_bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
-                        r2s, nss, css, eps: float, pk: int):
+                        r2s, nss, css, eps: float, pk: int, sp: int):
     """Packed pair backward from STASHED forward state: selection is
     re-derived (cheap — one d2 per stream, rank matmuls per scale, all
     needed by the scatter anyway), but the per-layer xhat tensors and
@@ -1241,17 +1320,17 @@ def _pair_bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
                         oh = (_rank[None] == sv).astype(
                             jnp.bfloat16).reshape(g * m, -1)
                         return _fold3(jax.lax.dot_general(
-                            oh, _bf16_cat3(eff),
+                            oh, _bf16_cat3(eff, sp),
                             dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32), c1)
+                            preferred_element_type=jnp.float32), c1, sp)
 
                     extra_p = extra[:, p * c1:(p + 1) * c1]
                     oh1 = (rank_p == 1.0).astype(jnp.bfloat16)
                     dp1_ref[p] = _fold3(jax.lax.dot_general(
                         oh1,
-                        _bf16_cat3(jnp.where(hits_p > 0.0, extra_p, 0.0)),
+                        _bf16_cat3(jnp.where(hits_p > 0.0, extra_p, 0.0), sp),
                         dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32), c1)
+                        preferred_element_type=jnp.float32), c1, sp)
                     dp1_ref[p] += scat_block(jnp.int32(0))
 
                     def body(i, _, _scat=scat_block, _p=p):
@@ -1262,13 +1341,13 @@ def _pair_bwd_kernel_pk(xt_ref, sqx_ref, maskf_ref, ut_ref, c_ref, *refs,
                     ex0 = jnp.where(hits_p > 0.0, 0.0, extra_p)
                     ones = jnp.ones((1, m), jnp.bfloat16)
                     row0 = _fold3(jax.lax.dot(
-                        ones, _bf16_cat3(ex0),
-                        preferred_element_type=jnp.float32), c1)
+                        ones, _bf16_cat3(ex0, sp),
+                        preferred_element_type=jnp.float32), c1, sp)
                     dp1_ref[p, 0:1, :] += row0
 
 
 def _pick_pk_pair(b: int, cs_a: tuple, cs_b: tuple, n: int, m: int,
-                  ns_a: int, ns_b: int) -> int:
+                  ns_a: int, ns_b: int, gp: int) -> int:
     """Packing factor for the pair kernel: must exactly fill the
     narrowest layer's lane tile (so every differing-width lane slice is
     a 128-multiple), divide the batch, and fit shared scratch + the
@@ -1288,7 +1367,7 @@ def _pick_pk_pair(b: int, cs_a: tuple, cs_b: tuple, n: int, m: int,
                + (ns_a * m * sum(cs_a) + ns_b * m * sum(cs_b)) * pk * 4)
     aux = (2 * pk * m * n * 4                       # two ranks per stream
            + pk * n * n * 4                         # d2 temporaries
-           + 2 * pk * n * 3 * cs_a[0] * 2           # both scales' p1cat
+           + 2 * pk * n * gp * cs_a[0] * 2           # both scales' p1cat
            + n * n * 2
            + min(max(ns_a, ns_b), _SLOT_BLOCK) * m * n * 2
            + 2 * min(max(ns_a, ns_b), _SLOT_BLOCK) * m * pk
@@ -1307,6 +1386,7 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
          ws_a_rest, scales_a, biases_a, ws_b_rest, scales_b, biases_b)
       → (pooled_a, mus_a, vars_a, pooled_b, mus_b, vars_b)
     """
+    gp, sp = _eff_parts(interpret)
     core_a = _make_core(r2a, nsa, tuple(csa), n, m, eps, interpret)
     core_b = _make_core(r2b, nsb, tuple(csb), n, m, eps, interpret)
     assert len(csa) == len(csb) and csa[0] == csb[0]
@@ -1339,8 +1419,8 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
                 maskfb.reshape(bg, pk, 1, n), cb.reshape(bg, pk, m, 3))
 
     def _scale_streams(pk, bg, p1b_, cwb_):
-        parts = _bf16_parts(p1b_.astype(jnp.float32))
-        p1catp = jnp.concatenate(parts, axis=2).reshape(bg, pk, n, 3 * c1)
+        p1catp = _split_cat(p1b_, axis=2, parts=gp).reshape(bg, pk, n,
+                                                            gp * c1)
         return (cwb_.reshape(bg, pk, m, c1), p1catp,
                 p1b_[:, 0:1, :].reshape(bg, pk, 1, c1))
 
@@ -1353,7 +1433,8 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
         sc_b = _scale_streams(pk, bg, p1b, cwb)
         wbda, scpa, bspa = _pack_params(pk, wsa, sca, bia)
         wbdb, scpb, bspb = _pack_params(pk, wsb, scb, bib)
-        kernel = functools.partial(_pair_fwd_kernel_pk, r2s=r2s, nss=nss,
+        kernel = functools.partial(_pair_fwd_kernel_pk, gp=gp, r2s=r2s,
+                                   nss=nss,
                                    css=css, eps=eps, pk=pk)
         out_shape, out_specs = [], []
         for cs, ns_s in zip(css, nss):
@@ -1370,7 +1451,7 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
                           + [_stream(ns_s * m, pk * ci) for ci in cs])
         in_specs = ([_stream(pk, 3, n), _stream(pk, 1, n),
                      _stream(pk, 1, n), _full(), _stream(pk, m, 3)]
-                    + ([_stream(pk, m, c1), _stream(pk, n, 3 * c1),
+                    + ([_stream(pk, m, c1), _stream(pk, n, gp * c1),
                         _stream(pk, 1, c1)]
                        + [_full()] * (3 * L - 1)) * 2)
         outs = pl.pallas_call(
@@ -1423,7 +1504,8 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
         varp = [tuple(v.reshape(bg, 1, pk * ci) for v, ci in
                       zip(vs, cs))
                 for vs, cs in zip((vra, vrb), css)]
-        kernel = functools.partial(_pair_bwd_kernel_pk, r2s=r2s, nss=nss,
+        kernel = functools.partial(_pair_bwd_kernel_pk, sp=sp, r2s=r2s,
+                                   nss=nss,
                                    css=css, eps=eps, pk=pk)
         out_shape, out_specs = [], []
         for cs, ws in zip(css, (wsa, wsb)):
@@ -1441,7 +1523,7 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
                           + [_stream(1, pk * ci) for ci in cs] * 2)
         in_specs = ([_stream(pk, 3, n), _stream(pk, 1, n),
                      _stream(pk, 1, n), _full(), _stream(pk, m, 3)]
-                    + ([_stream(pk, m, c1), _stream(pk, n, 3 * c1),
+                    + ([_stream(pk, m, c1), _stream(pk, n, gp * c1),
                         _stream(pk, 1, c1)]
                        + [_full()] * (3 * L - 1)) * 2
                     + [_stream(m, pk * csa[-1]),
@@ -1514,7 +1596,7 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
         args = [_bcast(x, bt, b) for x, bt in
                 zip((xt, sqx, maskf, c, p1a, cwa, p1b, cwb),
                     in_batched[:8])]
-        pk = _pick_pk_pair(b, csa, csb, n, m, nsa, nsb)
+        pk = _pick_pk_pair(b, csa, csb, n, m, nsa, nsb, gp)
         if pk > 1:
             outs = _run_pair_fwd_pk(b, pk, *args, wsa, sca, bia,
                                     wsb, scb, bib)
@@ -1556,7 +1638,7 @@ def _make_pair_core(r2a: float, nsa: int, csa: tuple, r2b: float,
                     in_batched[:8])]
         dpa_b = _bcast(dpa, in_batched[14], b)
         dpb_b = _bcast(dpb, in_batched[15], b)
-        pk = _pick_pk_pair(b, csa, csb, n, m, nsa, nsb)
+        pk = _pick_pk_pair(b, csa, csb, n, m, nsa, nsb, gp)
         if pk > 1:
             outs = _run_pair_bwd_pk(b, pk, *args, wsa, sca, bia,
                                     wsb, scb, bib, dpa_b, dpb_b,

@@ -147,9 +147,21 @@ def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
                       return_keys: bool = False):
     """Indices of the k nearest valid `points` per `query` row.
 
+    Range contract: coordinates must satisfy d² < 5e9 (|x| ≲ 7e4 m)
+    for every (query, valid point) pair. Per-neighbor validity is
+    derived from the selection keys moving off the -1e10 floor instead
+    of gathering the mask (that bool row gather measured 1.85 ms/frame
+    per stage at 16k); a VALID point further than ~70 km — or a caller
+    that encodes padding as huge sentinel coordinates with mask=True —
+    would be silently misclassified as invalid. Radar returns are
+    ≤ ~300 m, so the contract holds by ~230× margin; out-of-domain
+    callers are caught by the jit-time guard below when
+    RATRACK_DEBUG_NUMERICS=1 (CPU/interpret backends only — axon has
+    no host callbacks).
+
     Args:
-      query: (N, 3) float.
-      points: (M, 3) float.
+      query: (N, 3) float. See range contract above.
+      points: (M, 3) float. See range contract above.
       points_mask: optional (M,) bool.
       k: neighbor count (static).
       tq/tp: query/point tile sizes (static).
@@ -166,6 +178,20 @@ def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
       With return_keys: (idx, keys, valid).
     """
     n, m = query.shape[0], points.shape[0]
+    if (__import__("os").environ.get("RATRACK_DEBUG_NUMERICS") == "1"
+            and jax.default_backend() != "tpu"):
+        # range-contract guard (see docstring); debug-only — the
+        # reduce + host callback would otherwise cost every caller a
+        # pass over both clouds per dispatch. CPU/interpret only: the
+        # axon TPU backend has no host callbacks (UNIMPLEMENTED).
+        def _guard(qmax, pmax):
+            if not (qmax < 7e4 and pmax < 7e4):
+                raise ValueError(
+                    "knn_indices_tiled range contract violated: "
+                    f"max|query|={qmax:.3e} max|points|={pmax:.3e} "
+                    "(validity-from-keys needs |coord| < 7e4)")
+        jax.debug.callback(_guard, jnp.max(jnp.abs(query)),
+                           jnp.max(jnp.abs(points)))
     n_pad, m_pad = _round_up(n, tq), _round_up(m, max(tp, 128))
     tp = min(tp, m_pad)
 

@@ -23,12 +23,12 @@ hand-written CUDA forwards/backwards (`src/lib/src/ball_query_gpu.cu:9-46`,
   * layer 1 factorizes through the pair structure exactly as in the
     eval kernel: g1[m,s] = P1[idx[m,s]] - CW[m], with P1/CW two small
     HIGHEST matmuls hoisted outside;
-  * slot gathers are exact one-hot matmuls against the lane-stacked
+  * slot gathers are one-hot matmuls against the lane-stacked
     bf16 split of P1 (see ops/sampling.py _bf16_parts: each part is
     exactly bf16-representable, each output sums one part tuple) —
     3 parts under interpret (bit-exact for any f32), 2 on the real TPU
-    (bit-exact there: v5e HIGHEST hoist outputs carry ≤17 significand
-    bits — see SPLIT_PARTS);
+    (≤2⁻¹⁷-relative class, NOT bit-exact — see SPLIT_PARTS and
+    PROBE_SPLIT_PARTS.json);
   * MLP layers 2..L run as bf16-operand dots — the same numerics class
     as the unfused path's DEFAULT-precision f32 Dense (single bf16 MXU
     pass);
@@ -73,21 +73,41 @@ _VMEM_LIMIT = 112 * 1024 * 1024
 # through `parts` single-pass bf16 dots). Interpret mode (CPU) always
 # uses 3 — see _eff_parts.
 #   3 — bit-exact for any f32 (hi+mid+lo covers all 24 significand bits);
-#   2 — bit-exact ON THE REAL TPU for the P1/CW tables these kernels
-#       gather: the HIGHEST-precision layer-1 hoist dots that produce
-#       them emit values with ≤17 significand bits on v5e (measured:
-#       p1 - (hi + mid) == 0 EXACTLY, |lo| == 0, over 512×64 VoD-scale
-#       probes — tools-level probe recorded in NOTES_ROUND4.md), so the
-#       third MXU pass multiplied zeros. Worst THEORETICAL case for a
-#       full-mantissa table is ≤2⁻¹⁷ relative before the ≲2⁶ pair
-#       cancellation (|P1|/|g1| on VoD coordinates) → ≥11 bits ≈ 5e-4,
-#       still tighter than the bf16-operand class (2⁻⁸) every
-#       downstream DEFAULT dot imposes. A/B on the real chip (train
-#       512pt/8streams): 684.8 → 741.6 fps.
-# Env override RATRACK_SA_SPLIT_PARTS is for A/B measurement only
-# (static at import; programs must be recompiled to change it).
-SPLIT_PARTS = int(__import__("os").environ.get(
-    "RATRACK_SA_SPLIT_PARTS", "2"))
+#   2 — NOT bit-exact: v5e HIGHEST hoist outputs carry FULL 24-bit
+#       mantissas (round 4's "≤17 significand bits, measured ==0" claim
+#       was REFUTED by the round-5 probe: tools/probe_split_parts.py →
+#       PROBE_SPLIT_PARTS.json — 0 of 36 real flagship hoist tensors
+#       are 2-part representable). The bound that DOES hold, measured:
+#       2-part residual ≤ 6.8e-6 relative (≈2⁻¹⁷·¹, the _bf16_cat3
+#       theoretical ≤2⁻¹⁷ class). After the ≲2⁶ pair cancellation
+#       (|P1|/|g1| on VoD coordinates) that is ≥11 bits ≈ 5e-4 on g1 —
+#       still ~30× tighter than the bf16-operand class (2⁻⁸) every
+#       downstream DEFAULT dot imposes. End-to-end: flagship-config
+#       loss-gradient A/B (2,2) vs bit-exact (3,3), recorded in
+#       PROBE_SPLIT_PARTS.json["grad_ab"]. Perf: 684.8 → 741.6 fps on
+#       the real chip (train 512pt/8streams, round 4). Hardware
+#       coverage: tests/test_split_parts_tpu.py (RATRACK_TPU_TESTS=1).
+# Env overrides RATRACK_SA_{SPLIT,SCATTER}_PARTS are for A/B
+# measurement only (static at import; programs must be recompiled to
+# change it) and silently changing TRAINING numerics from the
+# environment is a footgun — so they are honored only under
+# RATRACK_DEBUG_NUMERICS=1 (tools/probe_split_parts.py sets it);
+# otherwise a warning is printed and the default stands.
+def _env_parts(name: str, default: int) -> int:
+    import os as _os
+    raw = _os.environ.get(name)
+    if raw is None:
+        return default
+    if _os.environ.get("RATRACK_DEBUG_NUMERICS") != "1":
+        import warnings
+        warnings.warn(
+            f"{name}={raw} ignored: numerics overrides require "
+            "RATRACK_DEBUG_NUMERICS=1 (measurement-only knob)")
+        return default
+    return int(raw)
+
+
+SPLIT_PARTS = _env_parts("RATRACK_SA_SPLIT_PARTS", 2)
 
 # Parts for the BACKWARD's cotangent scatter dots (dP1 = Σ onehotᵀ@dG1)
 # on the real-TPU path. Cotangents are FULL-mantissa f32 (products of
@@ -98,21 +118,20 @@ SPLIT_PARTS = int(__import__("os").environ.get(
 # of 509-scale ≈ 2.5e-5 relative), 2⁻⁹ at 1 part (the truncation class
 # every bf16-operand backward dot upstream already applied to the
 # values that PRODUCED dG1).
-SCATTER_PARTS = int(__import__("os").environ.get(
-    "RATRACK_SA_SCATTER_PARTS", str(SPLIT_PARTS)))
+SCATTER_PARTS = _env_parts("RATRACK_SA_SCATTER_PARTS", SPLIT_PARTS)
 
 
 def _eff_parts(interpret: bool) -> tuple:
     """(gather_parts, scatter_parts) for this backend path.
 
-    Interpret mode (CPU tests) keeps the bit-exact 3-part split: there
-    the layer-1 hoist is a true f32 dot whose outputs carry full 24-bit
-    mantissas. On the real TPU the HIGHEST-precision hoist dots emit
-    values with <= 17 significand bits (measured: p1 - (hi + mid) == 0
-    exactly, |lo| == 0 over 512x64 VoD-scale probes), so the 2-part
-    gather is BIT-EXACT on hardware and the third MXU pass multiplied
-    zeros. Scatter cotangents are full-mantissa f32: 2 parts keep
-    <= 2^-17 relative per addend (no cancellation amplification)."""
+    Interpret mode (CPU tests) keeps the bit-exact 3-part split so the
+    suite's exact-regime routing tests stay exact. The real TPU runs
+    SPLIT_PARTS (default 2): hoist outputs are full-mantissa f32 —
+    see the SPLIT_PARTS comment and PROBE_SPLIT_PARTS.json — so the
+    2-part gather carries a ≤2⁻¹⁷-relative rounding class (measured
+    6.8e-6 worst over the real flagship hoists), traded for one fewer
+    MXU pass per gather. Scatter cotangents likewise: 2 parts keep
+    ≤2⁻¹⁷ relative per addend (no cancellation amplification)."""
     if interpret:
         return 3, 3
     return SPLIT_PARTS, SCATTER_PARTS

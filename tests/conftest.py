@@ -16,7 +16,11 @@ import jax  # noqa: E402
 
 # The axon TPU plugin overrides JAX_PLATFORMS at import time ('axon,cpu');
 # force CPU explicitly so tests never dispatch over the TPU tunnel.
-jax.config.update("jax_platforms", "cpu")
+# RATRACK_TPU_TESTS=1 opts OUT of the forcing for the real-hardware
+# numerics tests (tests/test_split_parts_tpu.py) — run those alone:
+#   RATRACK_TPU_TESTS=1 python -m pytest tests/test_split_parts_tpu.py
+if os.environ.get("RATRACK_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: this box has ONE cpu core, and the suite's
 # wall clock is dominated by model-sized XLA compiles (~20-40s each).

@@ -160,7 +160,11 @@ def test_stream_packed_equals_per_stream(b, mlp, want_pk):
     from ratrack_tpu.ops.pallas_sa_train import _pick_pk
 
     n = 128
-    assert _pick_pk(b, mlp, n, n, 8) == want_pk
+    # selection is insensitive to the gather-parts count at these shapes
+    # (the p1cat aux term is KBs vs the 64 MB budget) — pin both the
+    # real-TPU (gp=2) and interpret/bit-exact (gp=3) splits
+    for gp in (2, 3):
+        assert _pick_pk(b, mlp, n, n, 8, gp) == want_pk
     rng = np.random.RandomState(7)
     xyzb = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
     featsb = jnp.asarray(rng.randn(b, n, 2).astype(np.float32))
@@ -239,7 +243,9 @@ def test_pair_vs_singles(mlp_a, mlp_b, ns_a, ns_b, b, want_pk):
                                                  _pick_pk_pair)
 
     n = 128
-    assert _pick_pk_pair(b, mlp_a, mlp_b, n, n, ns_a, ns_b) == want_pk
+    for gp in (2, 3):
+        assert _pick_pk_pair(b, mlp_a, mlp_b, n, n, ns_a, ns_b,
+                             gp) == want_pk
     rng = np.random.RandomState(3)
     xyzb = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
     featsb = jnp.asarray(rng.randn(b, n, 2).astype(np.float32))

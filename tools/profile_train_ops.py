@@ -58,7 +58,27 @@ def per_op(trace_dir: str, device_substr: str = "TPU", top_n: int = 40):
                          ms=round(ps / 1e9, 3),
                          pct=round(100 * ps / total_ps, 1),
                          calls=agg_n[name]))
-    return dict(device_total_ms=round(total_ps / 1e9, 3), top=rows)
+
+    # 100%-coverage rollup: custom-calls keyed by their call-site prefix
+    # (%sa1.83 → custom-call:sa1), everything else by hlo_category — the
+    # roofline accounting (VERDICT r4 #3/#4) needs every picosecond
+    # attributed to a bounded group, not a top-N list.
+    grp_ps = collections.Counter()
+    grp_n = collections.Counter()
+    for name, ps in agg_ps.items():
+        cat = agg_cat[name]
+        if cat == "custom-call":
+            base = name.split(" = ")[0].lstrip("%").split(".")[0]
+            key = f"custom-call:{base}"
+        else:
+            key = cat
+        grp_ps[key] += ps
+        grp_n[key] += agg_n[name]
+    groups = [dict(group=k, ms=round(ps / 1e9, 3),
+                   pct=round(100 * ps / total_ps, 2), calls=grp_n[k])
+              for k, ps in grp_ps.most_common()]
+    return dict(device_total_ms=round(total_ps / 1e9, 3),
+                groups=groups, top=rows)
 
 
 def main():

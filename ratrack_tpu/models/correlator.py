@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops import knn_auto as knn, group
+from ..ops import morton
 from ..ops import pallas_sa
 from ..ops.pallas_correlator import (TILE_M, fused_knn_weight_aggregate,
                                      knn_gather_apply)
@@ -97,17 +98,40 @@ class FeatureCorrelator(nn.Module):
                     k=self.nsample, compute_dtype=self.dtype)
             else:
                 interp = jax.default_backend() != "tpu"
-                idx1 = knn_indices_tiled(pc1, pc2, mask2, k=self.nsample,
-                                         interpret=interp)
+                pc1_32 = pc1.astype(jnp.float32)
+                pc2_32 = pc2.astype(jnp.float32)
+                if morton.SPLIT_SPATIAL_SORT:
+                    # Z-order BOTH clouds so the kNN kernel's per-chunk
+                    # pruning gate fires (ops/morton.py): query tiles
+                    # become spatially compact and most candidate chunks
+                    # skip their 2k extraction passes. Row-wise math is
+                    # order-independent; only kNN TIE order changes
+                    # (lowest sorted index). A/B vs unsorted recorded in
+                    # NOTES_ROUND5 (16k eval device ms/frame).
+                    perm1 = morton.morton_perm(pc1_32, mask1)
+                    perm2 = morton.morton_perm(pc2_32, mask2)
+                    gq = lambda a: a[perm1] if a is not None else None
+                    gp = lambda a: a[perm2] if a is not None else None
+                    pc1_32, add_q, mask1s = gq(pc1_32), gq(add_q), gq(mask1)
+                    pc2_32, feats_p, mask2s = gp(pc2_32), gp(feats_p), gp(mask2)
+                else:
+                    mask1s, mask2s = mask1, mask2
+                idx1 = knn_indices_tiled(pc1_32, pc2_32, mask2s,
+                                         k=self.nsample, interpret=interp)
                 cost = knn_gather_apply(
-                    idx1, pc1, pc2, feats_p, add_q, mlp_ws, mlp_bs,
+                    idx1, pc1_32, pc2_32, feats_p, add_q, mlp_ws, mlp_bs,
                     wn1_ws, wn1_bs, k=self.nsample,
                     compute_dtype=self.dtype)
-                idx2 = knn_indices_tiled(pc1, pc1, mask1, k=self.nsample,
-                                         interpret=interp)
+                idx2 = knn_indices_tiled(pc1_32, pc1_32, mask1s,
+                                         k=self.nsample, interpret=interp)
                 cost = knn_gather_apply(
-                    idx2, pc1, pc1, cost, None, [], [], wn2_ws, wn2_bs,
-                    k=self.nsample, compute_dtype=self.dtype)
+                    idx2, pc1_32, pc1_32, cost, None, [], [], wn2_ws,
+                    wn2_bs, k=self.nsample, compute_dtype=self.dtype)
+                if morton.SPLIT_SPATIAL_SORT:
+                    # one unsort back to the input row order (in-bounds
+                    # by construction — skips the fill-select pass)
+                    inv1 = morton.invert_perm(perm1)
+                    cost = cost.at[inv1].get(mode="promise_in_bounds")
             return cost.astype(self.dtype)
 
         # TRAIN path: both stages as custom-VJP fused kernels

@@ -262,3 +262,85 @@ class TestFusedCorrelator:
         a = np.asarray(mod_u.apply(vs, pc1, pc2, f1, f2, train=True))
         b = np.asarray(mod_f.apply(vs, pc1, pc2, f1, f2, train=True))
         np.testing.assert_array_equal(a, b)
+
+
+class TestMortonSplitSort:
+    """Z-order sort of the >4096 split path (ops/morton.py).
+
+    Per-pair arithmetic is order-independent (expanded-form distances,
+    row-wise hoists/apply), so running kNN + gather + apply on
+    Z-sorted rows and unsorting the output must be BIT-IDENTICAL to
+    the unsorted pipeline away from exact distance ties (random f32
+    clouds have none)."""
+
+    def test_morton_perm_is_permutation_invalid_last(self):
+        from ratrack_tpu.ops import morton
+        rng = np.random.RandomState(0)
+        xyz = jnp.asarray(rng.randn(640, 3).astype(np.float32) * 50)
+        mask = jnp.asarray(np.arange(640) % 3 != 1)
+        perm = np.asarray(morton.morton_perm(xyz, mask))
+        assert sorted(perm.tolist()) == list(range(640))
+        n_valid = int(np.asarray(mask).sum())
+        assert np.asarray(mask)[perm[:n_valid]].all()
+        assert not np.asarray(mask)[perm[n_valid:]].any()
+
+    def test_morton_code_orders_by_locality(self):
+        from ratrack_tpu.ops import morton
+        # two tight clusters far apart: the sort must not interleave them
+        rng = np.random.RandomState(1)
+        a = rng.randn(64, 3).astype(np.float32) + 100.0
+        b = rng.randn(64, 3).astype(np.float32) - 100.0
+        xyz = jnp.asarray(np.concatenate([a, b]))
+        perm = np.asarray(morton.morton_perm(xyz))
+        side = (perm < 64)
+        # all of one cluster before all of the other
+        flips = int((side[1:] != side[:-1]).sum())
+        assert flips == 1
+
+    def test_invert_perm(self):
+        from ratrack_tpu.ops import morton
+        rng = np.random.RandomState(2)
+        perm = jnp.asarray(rng.permutation(512).astype(np.int32))
+        inv = np.asarray(morton.invert_perm(perm))
+        np.testing.assert_array_equal(np.asarray(perm)[inv],
+                                      np.arange(512))
+
+    @pytest.mark.parametrize("n_valid", [256, 40])
+    def test_sorted_pipeline_bitexact_vs_unsorted(self, n_valid):
+        from ratrack_tpu.ops import morton
+        from ratrack_tpu.ops.pallas_correlator import knn_gather_apply
+        from ratrack_tpu.ops.pallas_knn import knn_indices_tiled
+
+        n = 256
+        rng = np.random.RandomState(7)
+        pc1 = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 5)
+        pc2 = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 5)
+        rngw = np.random.RandomState(8)
+        featsp = jnp.asarray(rngw.randn(n, 64).astype(np.float32))
+        addq = jnp.asarray(rngw.randn(n, 64).astype(np.float32))
+        mlp_ws = [jnp.asarray(rngw.randn(64, 64).astype(np.float32))]
+        mlp_bs = [jnp.asarray(rngw.randn(64).astype(np.float32))]
+        wn_ws = [jnp.asarray(rngw.randn(3, 16).astype(np.float32)),
+                 jnp.asarray(rngw.randn(16, 16).astype(np.float32)),
+                 jnp.asarray(rngw.randn(16, 64).astype(np.float32))]
+        wn_bs = [jnp.asarray(rngw.randn(c).astype(np.float32))
+                 for c in (16, 16, 64)]
+        mask1 = jnp.asarray(np.arange(n) < n_valid)
+        mask2 = jnp.asarray(np.arange(n) < n_valid + 30)
+        kw = dict(mlp_ws=mlp_ws, mlp_bs=mlp_bs, wn_ws=wn_ws,
+                  wn_bs=wn_bs, k=16, compute_dtype=jnp.float32)
+
+        # unsorted pipeline
+        idx = knn_indices_tiled(pc1, pc2, mask2, k=16, interpret=True)
+        want = knn_gather_apply(idx, pc1, pc2, featsp, addq, **kw)
+
+        # sorted pipeline (what the module's split path does)
+        perm1 = morton.morton_perm(pc1, mask1)
+        perm2 = morton.morton_perm(pc2, mask2)
+        idx_s = knn_indices_tiled(pc1[perm1], pc2[perm2], mask2[perm2],
+                                  k=16, interpret=True)
+        got_s = knn_gather_apply(idx_s, pc1[perm1], pc2[perm2],
+                                 featsp[perm2], addq[perm1], **kw)
+        got = got_s.at[morton.invert_perm(perm1)].get(
+            mode="promise_in_bounds")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -78,47 +78,92 @@ def _extract_k(keys, idxf, k):
             jnp.concatenate(ids, axis=1))
 
 
-def _knn_kernel(q_ref, xt_ref, sqx_ref, pm_ref, idx_ref, keys_ref, *,
-                k: int, tp: int, m: int):
+def _knn_kernel(q_ref, xt_ref, sqx_ref, pm_ref, bbox_ref, idx_ref,
+                keys_ref, *, k: int, tp: int, m: int, n_q: int):
     q = q_ref[:].astype(jnp.float32)                    # (TQ, 3)
     tq = q.shape[0]
     q2 = jnp.sum(q * q, axis=1, keepdims=True)          # (TQ, 1)
     n_chunks = m // tp
 
+    # locality-first chunk order: start at the candidate chunk sitting
+    # at the same FRACTION of its cloud as this query tile, then wrap.
+    # With both clouds Z-order sorted (ops/morton.py) the head converges
+    # within the first few (spatially nearest) chunks and the pruning
+    # gates skip the rest; scanning 0..n_chunks-1 instead forces every
+    # chunk BEFORE the tile's own region to "improve" a still-empty
+    # head. Selection is visit-order independent — extraction and merge
+    # both break key ties by the MINIMUM global id (_extract_k), so the
+    # result is bit-identical for any chunk order (tests pin this).
+    c0 = (pl.program_id(0) * (tq * n_chunks)) // n_q
+
+    # query-tile bounding sphere for the chunk-level gate. Computed over
+    # ALL rows — padding queries in a mixed tile only inflate the radius
+    # (less pruning, never wrong).
+    c_t = jnp.mean(q, axis=0, keepdims=True)            # (1, 3)
+    r_t = jnp.sqrt(jnp.max(jnp.sum((q - c_t) * (q - c_t), axis=1)))
+
     def chunk(t, carry):
         hd, hi = carry                                  # (TQ, k) head
-        js = pl.ds(t * tp, tp)
-        xs = xt_ref[:, js]                              # (3, TP)
-        # expanded-form distance as plain VPU FMAs (the K=3 HIGHEST
-        # matmul per chunk measured ~140 µs — it dominated the whole
-        # kernel). Same rounding-freedom class vs the dense path as the
-        # SA kernels: near-equal neighbors may order differently.
-        prod = (q[:, 0:1] * xs[0:1, :] + q[:, 1:2] * xs[1:2, :]
-                + q[:, 2:3] * xs[2:3, :])               # (TQ, TP)
-        d2 = jnp.maximum(q2 + sqx_ref[:, js] - 2.0 * prod, 0.0)
-        keys = jnp.where(pm_ref[:, js] > 0.5, -d2, -_BIG)
-        # tpu.iota must be integer; ids carried as exact f32
-        ti = (t * tp
-              + jax.lax.broadcasted_iota(jnp.int32, (tq, tp),
-                                         1)).astype(jnp.float32)
-        # skip the 2k extraction passes when no row of this chunk can
-        # beat its current k-th neighbor (for unsorted clouds most
-        # chunks stop contributing once the head converges)
-        rowmax = jnp.max(keys, axis=1, keepdims=True)
-        improves = jnp.max(rowmax - hd[:, k - 1:k]) > 0.0
+        tc = jax.lax.rem(c0 + t, n_chunks)
 
-        def do(args):
-            hd, hi, keys, ti = args
-            cv, ci = _extract_k(keys, ti, k)            # chunk top-k
-            # merge: equal keys resolve to the minimum global id — the
-            # dense path's lowest-index tie order
-            return _extract_k(jnp.concatenate([hd, cv], axis=1),
-                              jnp.concatenate([hi, ci], axis=1), k)
+        # GATE 1 — bounding spheres (skips the whole chunk, d² and all):
+        # for any query in this tile and valid candidate in the chunk,
+        # dist >= dist(centers) - r_tile - r_chunk. Skip when even that
+        # lower bound cannot beat the LEAST-converged row's k-th key.
+        # The 0.99 deflation dwarfs every f32 rounding difference vs the
+        # kernel's expanded-form d², keeping the bound conservative
+        # (selection stays bit-identical; tests pin it). All-invalid
+        # chunks carry a far-sentinel centroid -> lb² ~ 1e18 -> skipped
+        # even while heads are unfilled (they have nothing to offer).
+        # While any row's head is unfilled (hd_k == -_BIG) a LEGIT chunk
+        # is never skipped: the range contract (d² < 5e9, docstring)
+        # bounds 0.99·lb² < 5e9 < _BIG for every valid pair.
+        cb = bbox_ref[pl.ds(tc, 1), :]                  # (1, 4)
+        dcc = jnp.sqrt(jnp.sum(
+            (c_t - cb[:, 0:3]) * (c_t - cb[:, 0:3])))
+        lb = jnp.maximum(dcc - r_t - jnp.max(cb[:, 3:4]), 0.0)
+        # a chunk can improve SOME row iff its best possible key beats
+        # the EASIEST row's current k-th key — the minimum over rows
+        worst = jnp.min(hd[:, k - 1:k])
+        chunk_can_improve = (-0.99 * lb * lb) > worst
 
-        def skip(args):
-            return args[0], args[1]
+        def eval_chunk(carry):
+            hd, hi = carry
+            js = pl.ds(tc * tp, tp)
+            xs = xt_ref[:, js]                          # (3, TP)
+            # expanded-form distance as plain VPU FMAs (the K=3 HIGHEST
+            # matmul per chunk measured ~140 µs — it dominated the
+            # whole kernel). Same rounding-freedom class vs the dense
+            # path as the SA kernels: near-equal neighbors may order
+            # differently.
+            prod = (q[:, 0:1] * xs[0:1, :] + q[:, 1:2] * xs[1:2, :]
+                    + q[:, 2:3] * xs[2:3, :])           # (TQ, TP)
+            d2 = jnp.maximum(q2 + sqx_ref[:, js] - 2.0 * prod, 0.0)
+            keys = jnp.where(pm_ref[:, js] > 0.5, -d2, -_BIG)
+            # tpu.iota must be integer; ids carried as exact f32
+            ti = (tc * tp
+                  + jax.lax.broadcasted_iota(jnp.int32, (tq, tp),
+                                             1)).astype(jnp.float32)
+            # GATE 2 — actual keys: skip the 2k extraction passes when
+            # no row of this chunk beats its current k-th neighbor
+            rowmax = jnp.max(keys, axis=1, keepdims=True)
+            improves = jnp.max(rowmax - hd[:, k - 1:k]) > 0.0
 
-        return jax.lax.cond(improves, do, skip, (hd, hi, keys, ti))
+            def do(args):
+                hd, hi, keys, ti = args
+                cv, ci = _extract_k(keys, ti, k)        # chunk top-k
+                # merge: equal keys resolve to the minimum global id —
+                # the dense path's lowest-index tie order
+                return _extract_k(jnp.concatenate([hd, cv], axis=1),
+                                  jnp.concatenate([hi, ci], axis=1), k)
+
+            def skip(args):
+                return args[0], args[1]
+
+            return jax.lax.cond(improves, do, skip, (hd, hi, keys, ti))
+
+        return jax.lax.cond(chunk_can_improve, eval_chunk,
+                            lambda c: c, (hd, hi))
 
     hd0 = jnp.full((tq, k), -_BIG, jnp.float32)
     hi0 = jnp.zeros((tq, k), jnp.float32)
@@ -207,8 +252,23 @@ def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
     sqx = jnp.sum(pp * pp, axis=1)[None, :]             # (1, M)
     pmf = pm.astype(jnp.float32)[None, :]               # (1, M)
 
+    # per-chunk bounding spheres over VALID points for the kernel's
+    # chunk-level pruning gate: (n_chunks, 4) = [centroid xyz, radius].
+    # All-invalid chunks get a far sentinel centroid (1e9) so the gate
+    # skips them outright — they cannot contribute a neighbor.
+    n_chunks = m_pad // tp
+    pc3 = pp.reshape(n_chunks, tp, 3)
+    pmc = pm.reshape(n_chunks, tp).astype(jnp.float32)[:, :, None]
+    cnt = jnp.sum(pmc, axis=1)                          # (n_chunks, 1)
+    ctr = jnp.sum(pc3 * pmc, axis=1) / jnp.maximum(cnt, 1.0)
+    rad = jnp.sqrt(jnp.max(
+        jnp.sum((pc3 - ctr[:, None, :]) ** 2, axis=2) * pmc[:, :, 0],
+        axis=1, keepdims=True))
+    ctr = jnp.where(cnt > 0.0, ctr, 1e9)
+    bbox = jnp.concatenate([ctr, rad], axis=1)          # (n_chunks, 4)
+
     idx, keys = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, tp=tp, m=m_pad),
+        functools.partial(_knn_kernel, k=k, tp=tp, m=m_pad, n_q=n_pad),
         grid=(n_pad // tq,),
         in_specs=[
             pl.BlockSpec((tq, 3), lambda i: (i, 0),
@@ -218,6 +278,8 @@ def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
             pl.BlockSpec((1, m_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chunks, 4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((tq, k), lambda i: (i, 0),
@@ -230,7 +292,7 @@ def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
             vmem_limit_bytes=vmem_limit_bytes,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(qp, xt, sqx, pmf)
+    )(qp, xt, sqx, pmf, bbox)
     idx, keys = idx[:n], keys[:n]
 
     # first-hit padding for < k valid points (matches neighborhood.knn).

@@ -140,3 +140,40 @@ def test_ball_query_chunked_matches_dense(rng, m, n, ns, chunk):
     i_got = ball_query_chunked(2.5, ns, jnp.asarray(pts), jnp.asarray(ctr),
                                jnp.asarray(mask), chunk=chunk)
     np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+
+
+@pytest.mark.parametrize("sortit", [False, True])
+def test_indices_tiled_multichunk_gates_bitexact(rng, sortit):
+    """Chunk-pruning gates (bounding-sphere + rowmax, pallas_knn.py)
+    and the locality-first visit order must never change selections.
+
+    Per-pair key arithmetic is identical for EVERY chunk geometry, so
+    different (tq, tp) configs fire the gates completely differently —
+    on far-apart clusters gate 1 prunes most chunks at tp=128 and
+    nothing at tp=m — yet the outputs must be bit-identical. (A dense-
+    path comparison would instead test the documented MXU-vs-VPU
+    rounding-freedom class: at 60 m cluster offsets the expanded form
+    loses ~4 digits to cancellation and near-ties flip; see the module
+    docstring. The moderate-spread dense-parity tests above cover
+    that contract.)"""
+    n, m, k = 256, 1024, 8
+    # 4 tight clusters 60 m apart + 20% invalid padding
+    centers = np.array([[0, 0, 0], [60, 0, 0], [0, 60, 0], [60, 60, 0]],
+                       np.float32)
+    q = (centers[rng.randint(0, 4, n)]
+         + rng.randn(n, 3).astype(np.float32))
+    p = (centers[rng.randint(0, 4, m)]
+         + rng.randn(m, 3).astype(np.float32))
+    mask = rng.rand(m) > 0.2
+    if sortit:
+        from ratrack_tpu.ops import morton
+        q = np.asarray(jnp.asarray(q)[morton.morton_perm(jnp.asarray(q))])
+        perm = morton.morton_perm(jnp.asarray(p), jnp.asarray(mask))
+        p = np.asarray(jnp.asarray(p)[perm])
+        mask = np.asarray(jnp.asarray(mask)[perm])
+    outs = [np.asarray(knn_indices_tiled(
+        jnp.asarray(q), jnp.asarray(p), jnp.asarray(mask), k=k,
+        tq=tq, tp=tp, interpret=True))
+        for tq, tp in ((128, 128), (256, 512), (128, 1024))]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])

@@ -186,7 +186,7 @@ def _round_up(x: int, m: int) -> int:
                                     "vmem_limit_bytes", "return_keys"))
 def knn_indices_tiled(query: jnp.ndarray, points: jnp.ndarray,
                       points_mask: jnp.ndarray | None = None, *,
-                      k: int, tq: int = 256, tp: int = 512,
+                      k: int, tq: int = 512, tp: int = 2048,
                       vmem_limit_bytes: int = 96 * 1024 * 1024,
                       interpret: bool = False,
                       return_keys: bool = False):
